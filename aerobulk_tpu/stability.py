@@ -1,0 +1,196 @@
+"""Universal stability-profile functions psi_m / psi_h (vectorized JAX).
+
+Branch-free re-implementations of the reference's psi families; the
+reference already uses the ``0.5 + SIGN(0.5, zeta)`` mask trick everywhere,
+which maps 1:1 onto ``jnp.where`` — no control flow survives into XLA.
+
+Families:
+  * COARE  (Fairall et al. 2003)           mod_common_coare.f90:217-392
+  * NCAR   (Large & Yeager 2004)           mod_blk_ncar.f90:333-419
+  * ECMWF  (IFS Cy31r1)                    mod_blk_ecmwf.f90:441-564
+  * ANDREAS (Paulson-70 / Grachev-07)      mod_blk_andreas.f90:307-410
+  * GRACHEV07 (SHEBA, Jordan-99 unstable)  mod_blk_grachev07.f90:49-127
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from .constants import rpi
+from .thermo import step
+
+__all__ = [
+    "psi_m_coare", "psi_h_coare", "psi_m_ncar", "psi_h_ncar",
+    "psi_m_ecmwf", "psi_h_ecmwf", "psi_m_andreas", "psi_h_andreas",
+    "psi_m_grachev07", "psi_h_grachev07",
+]
+
+
+# ---------------------------------------------------------------------------
+# COARE (Kansas + convective blend; Beljaars-Holtslag stable)
+# ---------------------------------------------------------------------------
+
+def psi_m_coare(zeta):
+    """COARE psi_m (mod_common_coare.f90:217-254)."""
+    phi_m = jnp.abs(1.0 - 15.0 * zeta) ** 0.25
+    psi_k = (2.0 * jnp.log((1.0 + phi_m) / 2.0)
+             + jnp.log((1.0 + phi_m * phi_m) / 2.0)
+             - 2.0 * jnp.arctan(phi_m) + 0.5 * rpi)
+    phi_c = jnp.abs(1.0 - 10.15 * zeta) ** 0.3333
+    psi_c = (1.5 * jnp.log((1.0 + phi_c + phi_c * phi_c) / 3.0)
+             - 1.7320508 * jnp.arctan((1.0 + 2.0 * phi_c) / 1.7320508)
+             + 1.813799447)
+    f = zeta * zeta
+    f = f / (1.0 + f)
+    cc = jnp.minimum(50.0, 0.35 * zeta)
+    stb = step(zeta)
+    return ((1.0 - stb) * ((1.0 - f) * psi_k + f * psi_c)
+            - stb * (1.0 + zeta
+                     + 0.6667 * (zeta - 14.28) / jnp.exp(cc) + 8.525))
+
+
+def psi_h_coare(zeta):
+    """COARE psi_h (mod_common_coare.f90:305-344)."""
+    phi_h = jnp.abs(1.0 - 15.0 * zeta) ** 0.5
+    psi_k = 2.0 * jnp.log((1.0 + phi_h) / 2.0)
+    phi_c = jnp.abs(1.0 - 34.15 * zeta) ** 0.3333
+    psi_c = (1.5 * jnp.log((1.0 + phi_c + phi_c * phi_c) / 3.0)
+             - 1.7320508 * jnp.arctan((1.0 + 2.0 * phi_c) / 1.7320508)
+             + 1.813799447)
+    f = zeta * zeta
+    f = f / (1.0 + f)
+    cc = jnp.minimum(50.0, 0.35 * zeta)
+    stb = step(zeta)
+    return ((1.0 - stb) * ((1.0 - f) * psi_k + f * psi_c)
+            - stb * (jnp.abs(1.0 + 2.0 * zeta / 3.0) ** 1.5
+                     + 0.6667 * (zeta - 14.28) / jnp.exp(cc) + 8.525))
+
+
+# ---------------------------------------------------------------------------
+# NCAR / Large & Yeager
+# ---------------------------------------------------------------------------
+
+def psi_m_ncar(zeta):
+    """NCAR psi_m (mod_blk_ncar.f90:333-363)."""
+    x2 = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * zeta)), 1.0)
+    x = jnp.sqrt(x2)
+    psi_unst = (2.0 * jnp.log((1.0 + x) * 0.5)
+                + jnp.log((1.0 + x2) * 0.5)
+                - 2.0 * jnp.arctan(x) + rpi * 0.5)
+    psi_stab = -5.0 * zeta
+    stb = step(zeta)
+    return stb * psi_stab + (1.0 - stb) * psi_unst
+
+
+def psi_h_ncar(zeta):
+    """NCAR psi_h (mod_blk_ncar.f90:379-407)."""
+    x2 = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * zeta)), 1.0)
+    psi_unst = 2.0 * jnp.log(0.5 * (1.0 + x2))
+    psi_stab = -5.0 * zeta
+    stb = step(zeta)
+    return stb * psi_stab + (1.0 - stb) * psi_unst
+
+
+# ---------------------------------------------------------------------------
+# ECMWF / IFS
+# ---------------------------------------------------------------------------
+
+def _cap_zeta_ecmwf(zeta):
+    """Clamp zeta into [-50, 5] (mod_blk_ecmwf.f90:551-564)."""
+    return jnp.minimum(jnp.maximum(zeta, -50.0), 5.0)
+
+
+def psi_m_ecmwf(zeta):
+    """ECMWF psi_m: Paulson-70 unstable + IFS stable (mod_blk_ecmwf.f90:441-477)."""
+    zc = 5.0 / 0.35
+    zta = _cap_zeta_ecmwf(zeta)
+    x2 = jnp.sqrt(jnp.abs(1.0 - 16.0 * zta))
+    x = jnp.sqrt(x2)
+    t = 1.0 + x
+    psi_unst = (jnp.log(0.125 * t * t * (1.0 + x2))
+                - 2.0 * jnp.arctan(x) + 0.5 * rpi)
+    psi_stab = (-2.0 / 3.0 * (zta - zc) * jnp.exp(-0.35 * zta)
+                - zta - 2.0 / 3.0 * zc)
+    stb = step(zta)
+    return stb * psi_stab + (1.0 - stb) * psi_unst
+
+
+def psi_h_ecmwf(zeta):
+    """ECMWF psi_h (mod_blk_ecmwf.f90:498-533)."""
+    zc = 5.0 / 0.35
+    zta = _cap_zeta_ecmwf(zeta)
+    x2 = jnp.sqrt(jnp.abs(1.0 - 16.0 * zta))
+    psi_unst = 2.0 * jnp.log(0.5 * (1.0 + x2))
+    psi_stab = (-2.0 / 3.0 * (zta - zc) * jnp.exp(-0.35 * zta)
+                - jnp.abs(1.0 + 2.0 / 3.0 * zta) ** 1.5 - 2.0 / 3.0 * zc + 1.0)
+    stb = step(zta)
+    return stb * psi_stab + (1.0 - stb) * psi_unst
+
+
+# ---------------------------------------------------------------------------
+# ANDREAS (Paulson-70 unstable; Grachev-07 SHEBA stable)
+# ---------------------------------------------------------------------------
+
+def psi_m_andreas(zeta):
+    """Andreas psi_m (mod_blk_andreas.f90:307-360)."""
+    am = 5.0
+    bm = am / 6.5
+    one_third = 1.0 / 3.0
+    sr3 = math.sqrt(3.0)
+    zta = jnp.minimum(zeta, 15.0)
+    x2 = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * zta)), 1.0)
+    x = jnp.sqrt(x2)
+    psi_unst = (2.0 * jnp.log(jnp.abs((1.0 + x) * 0.5))
+                + jnp.log(jnp.abs((1.0 + x2) * 0.5))
+                - 2.0 * jnp.arctan(x) + rpi * 0.5)
+    xs = jnp.abs(1.0 + zta) ** one_third
+    bbm = abs((1.0 - bm) / bm) ** one_third  # scalar B_m
+    psi_stab = (-3.0 * am / bm * (xs - 1.0) + am * bbm / (2.0 * bm) * (
+        2.0 * jnp.log(jnp.abs((xs + bbm) / (1.0 + bbm)))
+        - jnp.log(jnp.abs((xs * xs - xs * bbm + bbm * bbm)
+                          / (1.0 - bbm + bbm * bbm)))
+        + 2.0 * sr3 * (jnp.arctan((2.0 * xs - bbm) / (sr3 * bbm))
+                       - math.atan((2.0 - bbm) / (sr3 * bbm)))))
+    stb = step(zta)
+    return stb * psi_stab + (1.0 - stb) * psi_unst
+
+
+def psi_h_andreas(zeta):
+    """Andreas psi_h (mod_blk_andreas.f90:363-410)."""
+    ah = 5.0
+    bh = 5.0
+    ch = 3.0
+    bbh = math.sqrt(5.0)
+    zta = jnp.minimum(zeta, 15.0)
+    x2 = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * zta)), 1.0)
+    psi_unst = 2.0 * jnp.log(0.5 * (1.0 + x2))
+    zz = 2.0 * zta + ch
+    psi_stab = (-0.5 * bh * jnp.log(jnp.abs(1.0 + ch * zta + zta * zta))
+                + (-ah / bbh + 0.5 * bh * ch / bbh)
+                * (jnp.log(jnp.abs((zz - bbh) / (zz + bbh)))
+                   - math.log(abs((ch - bbh) / (ch + bbh)))))
+    stb = step(zta)
+    return stb * psi_stab + (1.0 - stb) * psi_unst
+
+
+# ---------------------------------------------------------------------------
+# GRACHEV07 (SHEBA over sea ice; Jordan-99 unstable)
+# ---------------------------------------------------------------------------
+
+def psi_m_grachev07(zeta):
+    """Grachev-07 psi_m (mod_blk_grachev07.f90:49-70)."""
+    x = jnp.abs(1.0 - 16.0 * zeta) ** 0.25
+    psi_u = (jnp.log(0.5 * (1.0 + x * x)) + 2.0 * jnp.log(0.5 * (1.0 + x))
+             - 2.0 * jnp.arctan(x) + 0.5 * rpi)
+    psi_s = 1.0 + 6.5 * zeta * (1.0 + zeta) ** 0.3333333 / (1.3 + zeta)
+    return jnp.where(zeta < 0.0, psi_u, -psi_s)
+
+
+def psi_h_grachev07(zeta):
+    """Grachev-07 psi_h (mod_blk_grachev07.f90:91-113)."""
+    x = jnp.abs(1.0 - 16.0 * zeta) ** 0.25
+    psi_u = 2.0 * jnp.log(0.5 * (1.0 + x * x))
+    psi_s = 1.0 + 5.0 * zeta * (1.0 + zeta) / (1.0 + 3.0 * zeta + zeta * zeta)
+    return jnp.where(zeta < 0.0, psi_u, -psi_s)
