@@ -1,0 +1,294 @@
+"""User-facing API: config, validation, single-step flux, time series.
+
+This layer replaces the reference's driver stack — ``AEROBULK_INIT`` /
+``AEROBULK_MODEL`` / ``AEROBULK_BYE`` (mod_aerobulk.f90:24-268) and
+``aerobulk_compute`` (mod_aerobulk_compute.f90:22-213) — with:
+
+  * :class:`AeroBulkConfig` — a frozen dataclass instead of mutable module
+    globals (``nb_iter``, ``ctype_humidity``, ``rdt``, ``gdept_1d``,
+    ``l_use_skin_schemes``);
+  * :func:`init` — host-side validation / masking / humidity detection
+    (the AEROBULK_INIT semantics), outside jit;
+  * :func:`flux_step` — one time record, pure & jittable, explicit
+    :class:`SkinState` in/out (no hidden allocate/save/deallocate);
+  * :func:`run_series` — ``lax.scan`` over the time axis, carrying the
+    warm-layer state exactly as the reference's time loop does;
+  * :func:`flux` — one-shot convenience wrapper.
+
+Unlike the reference, the sea-ice algorithm family is reachable from the
+same dispatcher (the reference never wired ice algos into AEROBULK_MODEL —
+SURVEY.md §1), via ``ice_*`` algorithm names.
+
+Known reference bugs deliberately NOT replicated (SURVEY.md §4): the
+library-level warm layer hardcoding ``isecday_utc=12``, ``plong=0``
+(mod_aerobulk_compute.f90:126-136) — here solar time/longitude are real
+inputs with those values as backward-compatible defaults; and
+``AEROBULK_INIT`` being fed ``rad_lw`` as ``prsw`` (mod_aerobulk.f90:248).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as c
+from . import thermo
+from .algos import OCEAN_ALGOS, FluxResult
+from .skin import SkinState, init_skin_state_coare, init_skin_state_ecmwf
+
+
+@dataclasses.dataclass(frozen=True)
+class AeroBulkConfig:
+    """Static configuration of a flux computation (hashable, jit-friendly)."""
+    algo: str = "coare3p6"     # one of OCEAN_ALGOS
+    zt: float = 2.0            # height of t/q measurements [m]
+    zu: float = 10.0           # height of wind measurement [m]
+    niter: int = 5             # bulk iterations (reference default nb_iter=5)
+    use_skin: bool = False     # cool-skin + warm-layer (COARE*/ECMWF only)
+    humidity: str = "sh"       # 'sh' [kg/kg] | 'rh' [%] | 'dp' [K]
+    rdt: float = 3600.0        # warm-layer accumulation timestep [s]
+    gdept: float = 1.0         # depth of bulk-SST measurement [m]
+
+    def __post_init__(self):
+        if self.algo not in OCEAN_ALGOS:
+            raise ValueError(
+                f"unknown algorithm {self.algo!r}; available: "
+                f"{sorted(OCEAN_ALGOS)}")
+        if self.humidity not in ("sh", "rh", "dp", "auto"):
+            raise ValueError(f"unknown humidity type {self.humidity!r}")
+        if self.use_skin and not OCEAN_ALGOS[self.algo][1]:
+            raise ValueError(
+                f"algorithm {self.algo!r} does not support skin schemes "
+                "(only coare3p0/coare3p6/ecmwf do)")
+
+
+class FluxOutput(NamedTuple):
+    """Fluxes + full diagnostics for one time record."""
+    QL: jnp.ndarray      # latent heat flux [W/m^2]
+    QH: jnp.ndarray      # sensible heat flux [W/m^2]
+    Tau: jnp.ndarray     # wind stress module [N/m^2]
+    Tau_x: jnp.ndarray   # zonal wind stress [N/m^2]
+    Tau_y: jnp.ndarray   # meridional wind stress [N/m^2]
+    Evap: jnp.ndarray    # evaporation [kg/m^2/s] (<0: ocean loses water)
+    T_s: jnp.ndarray     # surface (skin if enabled, else bulk) temp [K]
+    rho_a: jnp.ndarray   # air density at zu [kg/m^3]
+    diag: FluxResult     # full per-algorithm diagnostics
+
+
+def init_skin_state(cfg: AeroBulkConfig, shape, dtype=jnp.float64) -> SkinState:
+    """Fresh warm-layer state appropriate to the configured algorithm."""
+    if cfg.algo == "ecmwf":
+        return init_skin_state_ecmwf(shape, dtype)
+    return init_skin_state_coare(shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# host-side validation (AEROBULK_INIT semantics) — numpy, outside jit
+# ---------------------------------------------------------------------------
+
+def detect_humidity_type(hum, mask=None) -> str:
+    """Guess humidity kind ('sh'/'dp'/'rh') from value ranges
+    (mod_phymbl.f90:1957-2007)."""
+    h = np.asarray(hum, dtype=np.float64)
+    if mask is None:
+        mask = np.ones_like(h, dtype=bool)
+    else:
+        mask = np.asarray(mask, dtype=bool)
+    vals = h[mask]
+    mean, vmin, vmax = vals.mean(), vals.min(), vals.max()
+
+    def in_range(lo, hi, hi_inc=False):
+        top_ok = (mean <= hi and vmax <= hi) if hi_inc else (mean < hi and vmax < hi)
+        return lo <= mean and lo <= vmin and top_ok
+
+    if in_range(c.ref_sha_min, c.ref_sha_max):
+        return "sh"
+    if in_range(c.ref_dpt_min, c.ref_dpt_max):
+        return "dp"
+    if in_range(c.ref_rlh_min, c.ref_rlh_max, hi_inc=True):
+        return "rh"
+    raise ValueError(
+        f"cannot identify humidity type: mean={mean:.4g} min={vmin:.4g} "
+        f"max={vmax:.4g}")
+
+
+_UNIT_RANGES = {
+    "sst": (c.ref_sst_min, c.ref_sst_max, "K"),
+    "t_air": (c.ref_taa_min, c.ref_taa_max, "K"),
+    "q_air": (c.ref_sha_min, c.ref_sha_max, "kg/kg"),
+    "rh_air": (c.ref_rlh_min, c.ref_rlh_max, "%"),
+    "dp_air": (c.ref_dpt_min, c.ref_dpt_max, "K"),
+    "slp": (c.ref_slp_min, c.ref_slp_max, "Pa"),
+    "u10": (-c.ref_wnd_max, c.ref_wnd_max, "m/s"),
+    "v10": (-c.ref_wnd_max, c.ref_wnd_max, "m/s"),
+    "wnd": (c.ref_wnd_min, c.ref_wnd_max, "m/s"),
+    "rad_sw": (c.ref_rsw_min, c.ref_rsw_max, "W/m^2"),
+    "rad_lw": (c.ref_rlw_min, c.ref_rlw_max, "W/m^2"),
+}
+
+
+def check_unit_consistency(field: str, x, mask=None):
+    """Abort if a field is outside its physical range — wrong units
+    (mod_phymbl.f90:1851-1954)."""
+    lo, hi, unit = _UNIT_RANGES[field]
+    x = np.asarray(x, dtype=np.float64)
+    m = np.ones_like(x, dtype=bool) if mask is None else np.asarray(mask, bool)
+    vals = x[m]
+    if vals.max() > hi or vals.min() < lo or not (lo <= vals.mean() <= hi):
+        raise ValueError(
+            f"field {field!r} does not seem to be in [{unit}]: "
+            f"min={vals.min():.4g} max={vals.max():.4g} mean={vals.mean():.4g}")
+
+
+def init(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
+         rad_sw=None, rad_lw=None):
+    """Validate inputs, build the in-range mask, detect humidity type.
+
+    Host-side (numpy) equivalent of ``AEROBULK_INIT``
+    (mod_aerobulk.f90:24-170).  Returns ``(mask, humidity_type)``; raises
+    ``ValueError`` on unit inconsistencies or if every point is masked.
+    """
+    sst = np.asarray(sst, np.float64)
+    shapes = {np.shape(a) for a in (sst, t_zt, hum_zt, U_zu, V_zu, slp)
+              if a is not None}
+    if len(shapes) != 1:
+        raise ValueError(f"input shapes disagree: {shapes}")
+
+    mask = ((np.asarray(sst) >= c.ref_sst_min) & (np.asarray(sst) <= c.ref_sst_max)
+            & (np.asarray(t_zt) >= c.ref_taa_min) & (np.asarray(t_zt) <= c.ref_taa_max)
+            & (np.asarray(slp) >= c.ref_slp_min) & (np.asarray(slp) <= c.ref_slp_max))
+    wnd = np.sqrt(np.asarray(U_zu) ** 2 + np.asarray(V_zu) ** 2)
+    mask &= (wnd >= c.ref_wnd_min) & (wnd <= c.ref_wnd_max)
+    if not mask.any():
+        raise ValueError("aerobulk_tpu.init: all points masked — check units")
+
+    htype = detect_humidity_type(hum_zt, mask) if cfg.humidity == "auto" \
+        else cfg.humidity
+
+    check_unit_consistency("sst", sst, mask)
+    check_unit_consistency("t_air", t_zt, mask)
+    hum_field = {"sh": "q_air", "rh": "rh_air", "dp": "dp_air"}[htype]
+    check_unit_consistency(hum_field, hum_zt, mask)
+    check_unit_consistency("slp", slp, mask)
+    check_unit_consistency("wnd", wnd, mask)
+    if rad_sw is not None:
+        check_unit_consistency("rad_sw", rad_sw, mask)
+    if rad_lw is not None:
+        check_unit_consistency("rad_lw", rad_lw, mask)
+    return mask, htype
+
+
+# ---------------------------------------------------------------------------
+# the pure compute step (aerobulk_compute semantics) — jittable
+# ---------------------------------------------------------------------------
+
+def flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
+              rad_sw=None, rad_lw=None, isecday_utc=12, lon=None,
+              skin_state: Optional[SkinState] = None):
+    """Compute fluxes for one time record (mod_aerobulk_compute.f90:22-213).
+
+    Args mirror ``aerobulk_compute``: ``t_zt`` is ABSOLUTE air temperature
+    at zt [K]; ``hum_zt`` is interpreted per ``cfg.humidity``.  Returns
+    ``(FluxOutput, SkinState)``.
+    """
+    fn, supports_skin, needs_time = OCEAN_ALGOS[cfg.algo]
+
+    # humidity conversion (slp floored at 50000 Pa as the reference does)
+    if cfg.humidity == "auto":
+        raise ValueError("flux_step: resolve humidity='auto' via init() "
+                         "and rebuild the config with the detected type")
+    if cfg.humidity == "sh":
+        q_zt = hum_zt
+    elif cfg.humidity == "dp":
+        q_zt = thermo.q_air_dp(hum_zt, jnp.maximum(slp, 50000.0))
+    else:
+        q_zt = thermo.q_air_rh(hum_zt, t_zt, jnp.maximum(slp, 50000.0))
+
+    wnd = jnp.sqrt(U_zu * U_zu + V_zu * V_zu)
+    ssq = c.rdct_qsat_salt * thermo.q_sat(sst, slp)
+    theta_zt = thermo.theta_from_z_p0_t_q(cfg.zt, slp, t_zt, q_zt)
+
+    if lon is None:
+        lon = jnp.zeros_like(sst)
+
+    if cfg.use_skin:
+        if rad_sw is None or rad_lw is None:
+            raise ValueError("flux_step: rad_sw & rad_lw required with skin")
+        Qsw = (1.0 - c.roce_alb0) * rad_sw
+        kw = dict(niter=cfg.niter, use_cs=True, use_wl=True, Qsw=Qsw,
+                  rad_lw=rad_lw, slp=slp, skin_state=skin_state,
+                  rdt=cfg.rdt, gdept=cfg.gdept)
+        if needs_time:
+            kw.update(isecday_utc=isecday_utc, lon=lon)
+        res, state = fn(cfg.zt, cfg.zu, sst, theta_zt, ssq, q_zt, wnd, **kw)
+    elif supports_skin:
+        res, state = fn(cfg.zt, cfg.zu, sst, theta_zt, ssq, q_zt, wnd,
+                        niter=cfg.niter, skin_state=skin_state)
+    else:
+        res = fn(cfg.zt, cfg.zu, sst, theta_zt, ssq, q_zt, wnd,
+                 niter=cfg.niter)
+        state = skin_state if skin_state is not None else \
+            init_skin_state(cfg, jnp.shape(sst), jnp.result_type(sst))
+
+    Tau, QH, QL, Evap, rho_a = thermo.bulk_formula(
+        cfg.zu, res.T_s, res.q_s, res.t_zu, res.q_zu,
+        res.Cd, res.Ch, res.Ce, wnd, res.Ubzu, slp)
+
+    # stress vector decomposition with |U| > 1e-3 guard
+    safe = wnd > 1.0e-3
+    inv_w = jnp.where(safe, 1.0 / jnp.maximum(wnd, 1.0e-3), 0.0)
+    Tau_x = Tau * inv_w * U_zu
+    Tau_y = Tau * inv_w * V_zu
+
+    out = FluxOutput(QL=QL, QH=QH, Tau=Tau, Tau_x=Tau_x, Tau_y=Tau_y,
+                     Evap=Evap, T_s=res.T_s, rho_a=rho_a, diag=res)
+    return out, state
+
+
+def run_series(cfg: AeroBulkConfig, forcing: dict,
+               skin_state: Optional[SkinState] = None,
+               isecday_utc=None, lon=None):
+    """Scan :func:`flux_step` over a time axis.
+
+    ``forcing`` maps input names (sst, t_zt, hum_zt, U_zu, V_zu, slp,
+    [rad_sw, rad_lw]) to arrays of shape ``(nt, ...)``; ``isecday_utc`` is
+    an optional ``(nt,)`` int array of UTC seconds-of-day.  The warm-layer
+    state threads through the scan exactly as the reference's time loop
+    carries its module arrays.  Returns ``(FluxOutput stacked over nt,
+    final SkinState)``.
+    """
+    names = ["sst", "t_zt", "hum_zt", "U_zu", "V_zu", "slp"]
+    opt = [n for n in ("rad_sw", "rad_lw") if n in forcing]
+    nt = forcing["sst"].shape[0]
+    if skin_state is None:
+        skin_state = init_skin_state(cfg, forcing["sst"].shape[1:],
+                                     jnp.result_type(forcing["sst"]))
+    if isecday_utc is None:
+        isecday_utc = jnp.full((nt,), 12, jnp.int32)
+
+    def body(state, xs):
+        args, isd = xs
+        out, state = flux_step(
+            cfg, *(args[n] for n in names),
+            **{n: args[n] for n in opt},
+            isecday_utc=isd, lon=lon, skin_state=state)
+        return state, out
+
+    xs = ({n: forcing[n] for n in names + opt}, isecday_utc)
+    final_state, outs = jax.lax.scan(body, skin_state, xs)
+    return outs, final_state
+
+
+def flux(algo, zt, zu, sst, t_zt, hum_zt, U_zu, V_zu, slp,
+         rad_sw=None, rad_lw=None, niter=5, use_skin=False, humidity="sh",
+         **kw):
+    """One-shot convenience wrapper (the ``aerobulk::model`` analogue)."""
+    cfg = AeroBulkConfig(algo=algo, zt=zt, zu=zu, niter=niter,
+                         use_skin=use_skin, humidity=humidity)
+    out, _ = flux_step(cfg, sst, t_zt, hum_zt, U_zu, V_zu, slp,
+                       rad_sw=rad_sw, rad_lw=rad_lw, **kw)
+    return out

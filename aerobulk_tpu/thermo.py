@@ -47,8 +47,8 @@ _rah_louis = 3.0 * _rc_louis
 
 
 def fsign(a, b):
-    """Fortran SIGN(a, b) = |a| * sign(b), with sign(+0) = +1."""
-    return jnp.where(b >= 0, jnp.abs(a), -jnp.abs(a))
+    """Fortran SIGN(a, b): |a| with the sign *bit* of b (copysign)."""
+    return jnp.copysign(jnp.abs(a), b)
 
 
 def step(x):

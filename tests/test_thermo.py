@@ -1,0 +1,139 @@
+"""Unit tests for the thermodynamics library.
+
+Mirrors the reference's test_phymbl.f90 strategy (SURVEY.md §4.1):
+analytic-vs-finite-difference derivative checks, q_sat cross-checks,
+theta/pressure round trips.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aerobulk_tpu import constants as c
+from aerobulk_tpu import thermo
+
+
+def test_fsign_matches_fortran_sign():
+    a = jnp.array([1.5, -2.0, 3.0, -4.0])
+    b = jnp.array([2.0, 5.0, -1.0, -0.0])
+    # SIGN(a,b): |a| with the sign bit of b (so SIGN(x, -0.0) < 0)
+    out = thermo.fsign(a, b)
+    np.testing.assert_allclose(out, [1.5, 2.0, -3.0, -4.0])
+
+
+def test_e_sat_reference_point():
+    # At 20 degC the Goff formula gives ~2339 Pa (WMO tables: 2338.8)
+    e = float(thermo.e_sat(jnp.float64(293.15)))
+    assert 2320.0 < e < 2350.0
+    # and the Magnus-style sanity: e_sat(30C)/e_sat(10C) ~ 3.45
+    r = float(thermo.e_sat(jnp.float64(303.15)) / thermo.e_sat(jnp.float64(283.15)))
+    assert 3.3 < r < 3.6
+
+
+def test_de_sat_dt_ice_matches_finite_difference():
+    T = jnp.linspace(220.0, 273.0, 50)
+    dT = 1.0e-4
+    fd = (thermo.e_sat_ice(T + dT) - thermo.e_sat_ice(T - dT)) / (2 * dT)
+    np.testing.assert_allclose(thermo.de_sat_dt_ice(T), fd, rtol=1e-6)
+
+
+def test_dq_sat_dt_ice_matches_finite_difference():
+    T = jnp.linspace(220.0, 273.0, 50)
+    P = jnp.full_like(T, 101000.0)
+    dT = 1.0e-4
+    fd = (thermo.q_sat(T + dT, P, l_ice=True)
+          - thermo.q_sat(T - dT, P, l_ice=True)) / (2 * dT)
+    np.testing.assert_allclose(thermo.dq_sat_dt_ice(T, P), fd, rtol=1e-6)
+
+
+def test_e_sat_ice_below_water_at_freezing():
+    # over ice, saturation pressure is lower than over (supercooled) water
+    T = jnp.linspace(250.0, 272.0, 20)
+    assert bool(jnp.all(thermo.e_sat_ice(T) < thermo.e_sat(T)))
+
+
+def test_theta_abs_roundtrip():
+    slp = jnp.full((5,), 101000.0)
+    Ta = jnp.linspace(260.0, 310.0, 5)
+    q = jnp.full((5,), 0.01)
+    for z in (2.0, 10.0, 30.0):
+        theta = thermo.theta_from_z_p0_t_q(z, slp, Ta, q)
+        Ta_back = thermo.t_from_z_p0_theta_q(z, slp, theta, q)
+        # the reference's T_from_z_P0_Theta_q uses a fixed 4 iterations,
+        # which converges to ~1e-7 relative — same bound here
+        np.testing.assert_allclose(Ta_back, Ta, rtol=1e-6)
+
+
+def test_theta_exceeds_abs_temp_above_sea_level():
+    slp = jnp.array([101000.0])
+    Ta = jnp.array([293.15])
+    q = jnp.array([0.012])
+    th = thermo.theta_from_z_p0_t_q(2.0, slp, Ta, q)
+    # golden value from doc/ex_ab.dat: 20.01341 degC for 20 degC at 2 m
+    np.testing.assert_allclose(th - c.rt0, 20.01341, atol=2e-5)
+
+
+def test_q_air_rh_dp_consistency():
+    # q -> rh -> q and q -> e -> dp-ish roundtrips
+    slp = jnp.full((4,), 101000.0)
+    Ta = jnp.linspace(280.0, 300.0, 4)
+    q = jnp.full((4,), 0.008)
+    rh = thermo.rh_air(q, Ta, slp)
+    q_back = thermo.q_air_rh(rh, Ta, slp)
+    np.testing.assert_allclose(q_back, q, rtol=1e-6)
+
+
+def test_rho_air_bounds():
+    rho = thermo.rho_air(jnp.array([288.0]), jnp.array([0.01]),
+                         jnp.array([101000.0]))
+    assert 1.1 < float(rho[0]) < 1.3
+    # floor at 0.8 for absurd inputs
+    rho = thermo.rho_air(jnp.array([1000.0]), jnp.array([0.0]),
+                         jnp.array([1000.0]))
+    assert float(rho[0]) == 0.8
+
+
+def test_one_on_l_cap():
+    big = thermo.one_on_l(jnp.array([280.0]), jnp.array([0.01]),
+                          jnp.array([1e-12]), jnp.array([5.0]),
+                          jnp.array([0.01]))
+    assert abs(float(big[0])) <= 200.0
+
+
+def test_z0tq_lkb_piecewise():
+    z0 = jnp.full((6,), 1.0e-4)
+    rer = jnp.array([0.05, 0.5, 5.0, 50.0, 500.0, 2000.0])
+    z0t = thermo.z0tq_lkb(1, rer, z0)
+    z0q = thermo.z0tq_lkb(2, rer, z0)
+    assert z0t.shape == rer.shape
+    # out-of-range Re_r saturates at the 0.05 m clamp (reference -999 path)
+    assert float(z0t[-1]) == 0.05
+    # in-range values are positive and bounded
+    assert bool(jnp.all(z0t > 0)) and bool(jnp.all(z0t <= 0.05))
+    assert bool(jnp.all(z0q > 0))
+    # smooth-regime (Re_r<0.11): z0t/z0 = 0.177/Re_r ~ const*z0/Re_r
+    np.testing.assert_allclose(float(z0t[0]), 0.177 * 1e-4 / 0.05, rtol=1e-12)
+
+
+def test_bulk_formula_ice_branch():
+    zu = 10.0
+    ts = jnp.array([270.0]); qs = jnp.array([0.003])
+    th = jnp.array([268.0]); qa = jnp.array([0.002])
+    cd = jnp.array([1.4e-3])
+    w = jnp.array([8.0])
+    slp = jnp.array([101000.0])
+    tau_i, qh_i, ql_i, ev_i, _ = thermo.bulk_formula(
+        zu, ts, qs, th, qa, cd, cd, cd, w, w, slp, l_ice=True)
+    tau_w, qh_w, ql_w, ev_w, _ = thermo.bulk_formula(
+        zu, ts, qs, th, qa, cd, cd, cd, w, w, slp, l_ice=False)
+    # same stress/sensible, but latent uses sublimation heat over ice
+    np.testing.assert_allclose(tau_i, tau_w)
+    np.testing.assert_allclose(qh_i, qh_w)
+    np.testing.assert_allclose(float(ql_i[0] / ev_i[0]), c.rLsub)
+    # evap clipped at 0 over ice
+    assert float(ev_i[0]) <= 0.0
+
+
+def test_gamma_moist_range():
+    g = thermo.gamma_moist(jnp.array([290.0]), jnp.array([0.01]))
+    assert 0.003 < float(g[0]) < 0.007   # moist rate < dry rate 9.8 K/km
