@@ -249,6 +249,85 @@ def flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
     return out, state
 
 
+def flux_step_ice(ice_algo: str, zt, zu, Ts_i, t_zt, hum_zt, U_zu, V_zu,
+                  slp, frice=None, niter=5, humidity="sh", **algo_kw):
+    """Fluxes over sea ice with one of the ice algorithm family.
+
+    The reference never wired its ice algorithms into the top-level
+    dispatcher (they are only called from ``src/ice/test_*.f90``); here
+    they share the same entry pattern as the ocean path.  ``Ts_i`` is the
+    ice surface temperature; saturation humidity at the surface uses the
+    over-ice Goff formula and the bulk formula uses the sublimation branch
+    (``l_ice`` semantics of mod_phymbl.f90:1193-1196).
+
+    Returns ``(FluxOutput, FluxResult)``.
+    """
+    from .ice import ICE_ALGOS
+
+    fn, needs_frice = ICE_ALGOS[ice_algo]
+
+    if humidity == "sh":
+        q_zt = hum_zt
+    elif humidity == "dp":
+        q_zt = thermo.q_air_dp(hum_zt, jnp.maximum(slp, 50000.0))
+    else:
+        q_zt = thermo.q_air_rh(hum_zt, t_zt, jnp.maximum(slp, 50000.0))
+
+    wnd = jnp.sqrt(U_zu * U_zu + V_zu * V_zu)
+    qs_i = thermo.q_sat(Ts_i, slp, l_ice=True)
+    theta_zt = thermo.theta_from_z_p0_t_q(zt, slp, t_zt, q_zt)
+
+    args = (zt, zu, Ts_i, theta_zt, qs_i, q_zt, wnd)
+    if needs_frice:
+        if frice is None:
+            raise ValueError(f"{ice_algo} requires the ice concentration "
+                             "`frice`")
+        args = args + (frice,)
+    res = fn(*args, niter=niter, **algo_kw)
+
+    Tau, QH, QL, Evap, rho_a = thermo.bulk_formula(
+        zu, res.T_s, res.q_s, res.t_zu, res.q_zu,
+        res.Cd, res.Ch, res.Ce, wnd, res.Ubzu, slp, l_ice=True)
+
+    safe = wnd > 1.0e-3
+    inv_w = jnp.where(safe, 1.0 / jnp.maximum(wnd, 1.0e-3), 0.0)
+    out = FluxOutput(QL=QL, QH=QH, Tau=Tau, Tau_x=Tau * inv_w * U_zu,
+                     Tau_y=Tau * inv_w * V_zu, Evap=Evap, T_s=res.T_s,
+                     rho_a=rho_a, diag=res)
+    return out, res
+
+
+def flux_step_mixed(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
+                    frice, ice_algo="ice_lg15", ocean_algo="ecmwf",
+                    niter=5, humidity="sh"):
+    """Mixed ocean+ice grid cell: ice fluxes over the ice fraction, ocean
+    fluxes over the leads, area-weighted net (the
+    ``test_aerobulk_oce+ice.f90`` workload, BASELINE config 5).
+
+    Returns ``(net FluxOutput, ice FluxOutput, ocean FluxOutput)`` where
+    the net fluxes are ``A * ice + (1 - A) * ocean``.
+    """
+    out_i, _ = flux_step_ice(ice_algo, zt, zu, Ts_i, t_zt, hum_zt,
+                             U_zu, V_zu, slp, frice=frice, niter=niter,
+                             humidity=humidity)
+    cfg_w = AeroBulkConfig(algo=ocean_algo, zt=zt, zu=zu, niter=niter,
+                           humidity=humidity)
+    out_w, _ = flux_step(cfg_w, sst, t_zt, hum_zt, U_zu, V_zu, slp)
+
+    def blend(i, w):
+        return frice * i + (1.0 - frice) * w
+
+    net = FluxOutput(
+        QL=blend(out_i.QL, out_w.QL), QH=blend(out_i.QH, out_w.QH),
+        Tau=blend(out_i.Tau, out_w.Tau),
+        Tau_x=blend(out_i.Tau_x, out_w.Tau_x),
+        Tau_y=blend(out_i.Tau_y, out_w.Tau_y),
+        Evap=blend(out_i.Evap, out_w.Evap),
+        T_s=blend(out_i.T_s, out_w.T_s),
+        rho_a=blend(out_i.rho_a, out_w.rho_a), diag=out_w.diag)
+    return net, out_i, out_w
+
+
 def run_series(cfg: AeroBulkConfig, forcing: dict,
                skin_state: Optional[SkinState] = None,
                isecday_utc=None, lon=None):

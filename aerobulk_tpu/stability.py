@@ -24,7 +24,7 @@ from .thermo import step
 __all__ = [
     "psi_m_coare", "psi_h_coare", "psi_m_ncar", "psi_h_ncar",
     "psi_m_ecmwf", "psi_h_ecmwf", "psi_m_andreas", "psi_h_andreas",
-    "psi_m_grachev07", "psi_h_grachev07",
+    "psi_m_grachev07", "psi_h_grachev07", "psi_m_ice", "psi_h_ice",
 ]
 
 
@@ -178,6 +178,36 @@ def psi_h_andreas(zeta):
 # ---------------------------------------------------------------------------
 # GRACHEV07 (SHEBA over sea ice; Jordan-99 unstable)
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# ICE: Jordan et al. 1999 (Paulson-70 unstable, Holtslag & De Bruin stable)
+# shared by the AN05 / EASY / BEST ice algorithms
+# (mod_blk_ice_an05.f90:316-406, identical copies in easy/best modules)
+# ---------------------------------------------------------------------------
+
+def _psi_s_holtslag(zeta):
+    """Holtslag & De Bruin 1988 stable branch, Jordan-99 Eq. 33."""
+    return -(0.7 * zeta + 0.75 * (zeta - 14.3) * jnp.exp(-0.35 * zeta) + 10.7)
+
+
+def psi_m_ice(zeta):
+    """Ice psi_m: Jordan-99 Eq. 30 unstable / Eq. 33 stable
+    (mod_blk_ice_an05.f90:316-360)."""
+    x = jnp.abs(1.0 - 16.0 * zeta) ** 0.25
+    psi_u = (jnp.log((1.0 + x * x) / 2.0) + 2.0 * jnp.log((1.0 + x) / 2.0)
+             - 2.0 * jnp.arctan(x) + 0.5 * rpi)
+    stb = step(zeta)
+    return (1.0 - stb) * psi_u + stb * _psi_s_holtslag(zeta)
+
+
+def psi_h_ice(zeta):
+    """Ice psi_h: Jordan-99 Eq. 31 unstable / Eq. 33 stable
+    (mod_blk_ice_an05.f90:363-406)."""
+    x = jnp.abs(1.0 - 16.0 * zeta) ** 0.25
+    psi_u = 2.0 * jnp.log((1.0 + x * x) / 2.0)
+    stb = step(zeta)
+    return (1.0 - stb) * psi_u + stb * _psi_s_holtslag(zeta)
+
 
 def psi_m_grachev07(zeta):
     """Grachev-07 psi_m (mod_blk_grachev07.f90:49-70)."""
