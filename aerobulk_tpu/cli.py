@@ -1,0 +1,339 @@
+"""Command-line tools — the reference test-executable equivalents.
+
+  aerobulk-tpu toy          -> aerobulk_toy.x      (single-point, all algos)
+  aerobulk-tpu ice-toy      -> test_aerobulk_ice.x (single-point, ice algos)
+  aerobulk-tpu series       -> test_aerobulk_buoy_series_oce.x (forcing file)
+  aerobulk-tpu cx-vs-wind   -> test_cx_vs_wind.x   (wind/stability sweeps)
+  aerobulk-tpu coef-n10     -> test_coef_n10.x     (neutral-coef curves)
+  aerobulk-tpu psi-stab     -> test_psi_stab.x     (psi profiles)
+  aerobulk-tpu bench        -> per-chip benchmark
+
+Run via ``python -m aerobulk_tpu.cli <subcommand> [options]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _jnp():
+    import jax.numpy as jnp
+    return jnp
+
+
+def cmd_toy(args):
+    """Single-point comparison of all ocean algorithms
+    (aerobulk_toy.F90 behaviour; nb_iter=20, slp default 1010 hPa)."""
+    import jax.numpy as jnp
+    from . import thermo, constants as c
+    from .api import AeroBulkConfig, flux_step
+
+    shape = (1,)
+    sst = jnp.full(shape, args.sst + c.rt0)
+    t_zt = jnp.full(shape, args.t + c.rt0)
+    q_zt = jnp.full(shape, args.q * 1e-3)
+    U = jnp.full(shape, args.wind)
+    V = jnp.zeros(shape)
+    slp = jnp.full(shape, args.slp * 100.0)
+
+    theta = thermo.theta_from_z_p0_t_q(args.zt, slp, t_zt, q_zt)
+    print(f"\n zu={args.zu} m, zt={args.zt} m, SST={args.sst} C, "
+          f"t_zt={args.t} C, q_zt={args.q} g/kg, U={args.wind} m/s, "
+          f"slp={args.slp} hPa, niter={args.niter}")
+    print(f" theta_zt = {float(theta[0]) - c.rt0:.5f} C\n")
+
+    algos = ["coare3p0", "coare3p6", "ncar", "ecmwf", "andreas"]
+    rows = {k: [] for k in ("C_D", "C_E", "C_H", "z_0", "u*", "L", "UN10",
+                            "C_D_N", "C_E_N", "C_H_N", "Tau", "Evap",
+                            "QL", "QH")}
+    for algo in algos:
+        cfg = AeroBulkConfig(algo=algo, zt=args.zt, zu=args.zu,
+                             niter=args.niter)
+        out, _ = flux_step(cfg, sst, t_zt, q_zt, U, V, slp)
+        d = out.diag
+        rows["C_D"].append(float(d.Cd[0]) * 1e3)
+        rows["C_E"].append(float(d.Ce[0]) * 1e3)
+        rows["C_H"].append(float(d.Ch[0]) * 1e3)
+        rows["z_0"].append(float(d.z0[0]))
+        rows["u*"].append(float(d.u_star[0]))
+        rows["L"].append(float(d.L[0]))
+        rows["UN10"].append(float(d.UN10[0]))
+        rows["C_D_N"].append(float(d.CdN[0]) * 1e3)
+        rows["C_E_N"].append(float(d.CeN[0]) * 1e3)
+        rows["C_H_N"].append(float(d.ChN[0]) * 1e3)
+        rows["Tau"].append(float(out.Tau[0]) * 1e3)
+        rows["Evap"].append(float(out.Evap[0]) * 86400.0)
+        rows["QL"].append(float(out.QL[0]))
+        rows["QH"].append(float(out.QH[0]))
+
+    hdr = "   Algorithm:   " + " | ".join(f"{a:>10s}" for a in algos)
+    print("=" * len(hdr))
+    print(hdr)
+    print("=" * len(hdr))
+    units = {"C_D": "[10^-3]", "C_E": "[10^-3]", "C_H": "[10^-3]",
+             "z_0": "[m]", "u*": "[m/s]", "L": "[m]", "UN10": "[m/s]",
+             "C_D_N": "[10^-3]", "C_E_N": "[10^-3]", "C_H_N": "[10^-3]",
+             "Tau": "[mN/m^2]", "Evap": "[mm/day]", "QL": "[W/m^2]",
+             "QH": "[W/m^2]"}
+    for k, vals in rows.items():
+        cells = " | ".join(f"{v:10.5g}" for v in vals)
+        print(f"   {k:<10s}  {cells}   {units[k]}")
+    print("=" * len(hdr))
+
+
+def cmd_ice_toy(args):
+    """Single-point comparison of the ice algorithms
+    (test_aerobulk_ice.f90 behaviour)."""
+    import jax.numpy as jnp
+    from . import thermo, constants as c
+    from .api import flux_step_ice
+    from .ice import ICE_ALGOS
+
+    shape = (1,)
+    Ts_i = jnp.full(shape, args.ts + c.rt0)
+    t_zt = jnp.full(shape, args.t + c.rt0)
+    slp = jnp.full(shape, args.slp * 100.0)
+    q_zt = args.rh / 100.0 * thermo.q_sat(t_zt, slp, l_ice=True)
+    U = jnp.full(shape, args.wind)
+    V = jnp.zeros(shape)
+    frice = jnp.full(shape, args.frice)
+
+    print(f"\n zu={args.zu} m, zt={args.zt} m, Ts_ice={args.ts} C, "
+          f"t_zt={args.t} C, RH={args.rh}%, U={args.wind} m/s, "
+          f"A={args.frice}\n")
+    print(f" {'algo':>10s} {'Cd[e-3]':>9s} {'Ch[e-3]':>9s} {'Ce[e-3]':>9s}"
+          f" {'QH[W/m2]':>10s} {'QL[W/m2]':>10s} {'Tau[mN/m2]':>11s}")
+    for algo in ICE_ALGOS:
+        out, d = flux_step_ice(algo, args.zt, args.zu, Ts_i, t_zt, q_zt,
+                               U, V, slp, frice=frice, niter=args.niter)
+        print(f" {algo:>10s} {float(d.Cd[0])*1e3:9.4f} "
+              f"{float(d.Ch[0])*1e3:9.4f} {float(d.Ce[0])*1e3:9.4f} "
+              f"{float(out.QH[0]):10.3f} {float(out.QL[0]):10.3f} "
+              f"{float(out.Tau[0])*1e3:11.4f}")
+
+
+def cmd_series(args):
+    """Time-series run over a forcing file (buoy-series driver)."""
+    import jax.numpy as jnp
+    from . import io as abio
+    from . import thermo, constants as c
+    from .api import AeroBulkConfig, run_series
+
+    f = abio.read_forcing(args.file)
+    nt = len(f["sst"])
+
+    def col(name, *alts, default=None):
+        for n in (name,) + alts:
+            if n in f:
+                return np.atleast_1d(np.asarray(f[n], np.float64)).reshape(nt, -1)
+        if default is not None:
+            return np.full((nt, 1), default)
+        raise KeyError(f"forcing variable {name!r} not found in {args.file}")
+
+    sst = col("sst")
+    sst = sst + c.rt0 if sst.mean() < 200.0 else sst
+    t_air = col("t_air", "t2m")
+    t_air = t_air + c.rt0 if t_air.mean() < 200.0 else t_air
+    hum = col("q_air", "q2m", "rh_air", "dp_air")
+    slp = col("slp", "msl", default=101000.0)
+    if "wndspd" in f:
+        wnd = col("wndspd")
+        u, v = wnd, np.zeros_like(wnd)
+    else:
+        u, v = col("u_wnd", "u10"), col("v_wnd", "v10")
+
+    forcing = dict(sst=jnp.asarray(sst), t_zt=jnp.asarray(t_air),
+                   hum_zt=jnp.asarray(hum), U_zu=jnp.asarray(u),
+                   V_zu=jnp.asarray(v), slp=jnp.asarray(slp))
+    use_skin = args.skin
+    if use_skin:
+        forcing["rad_sw"] = jnp.asarray(col("rad_sw", "ssrd", default=0.0))
+        forcing["rad_lw"] = jnp.asarray(col("rad_lw", "strd", default=350.0))
+
+    if "time" in f:
+        epoch = np.asarray(f["time"], np.float64)
+        isd = jnp.asarray(abio.seconds_of_day(epoch), jnp.int32)
+        time = epoch
+    else:
+        isd = None
+        time = np.arange(nt, dtype=np.float64) * 3600.0
+
+    cfg = AeroBulkConfig(algo=args.algo, zt=args.zt, zu=args.zu,
+                         niter=args.niter, use_skin=use_skin)
+    outs, _ = run_series(cfg, forcing, isecday_utc=isd)
+
+    def first_col(x):
+        return np.asarray(x).reshape(nt, -1)[:, 0]
+
+    variables = {
+        "Qlat": first_col(outs.QL), "Qsen": first_col(outs.QH),
+        "Tau": first_col(outs.Tau), "Evap": first_col(outs.Evap),
+        "T_s": first_col(outs.T_s), "Cd": first_col(outs.diag.Cd),
+        "Ch": first_col(outs.diag.Ch), "Ce": first_col(outs.diag.Ce),
+        "u_star": first_col(outs.diag.u_star),
+        "dT_cs": first_col(outs.diag.dT_cs),
+        "dT_wl": first_col(outs.diag.dT_wl),
+        "Hz_wl": first_col(outs.diag.Hz_wl),
+        "rho_a": first_col(outs.rho_a),
+    }
+    abio.write_series(args.out, time, variables)
+    print(f"wrote {len(variables)} series of {nt} records to {args.out}")
+
+
+def cmd_cx_vs_wind(args):
+    """Cd/Ch/Ce (+z0, u*, L, UN10) vs wind for a range of air-sea
+    stability states (test_cx_vs_wind.f90 sweep; nb_iter=20)."""
+    import jax.numpy as jnp
+    from . import thermo, constants as c
+    from .api import AeroBulkConfig, flux_step
+
+    # non-uniform wind grid: dense at low winds (reference :98-107 spirit)
+    w = np.concatenate([np.linspace(0.1, 5.0, 200, endpoint=False),
+                        np.linspace(5.0, 20.0, 400, endpoint=False),
+                        np.linspace(20.0, 50.0, 200)])
+    dthetas = np.asarray([float(x) for x in args.dtheta.split(",")])
+
+    result = {"wind": w.tolist(), "curves": {}}
+    for algo in args.algos.split(","):
+        cfg = AeroBulkConfig(algo=algo, zt=args.zt, zu=args.zu, niter=20)
+        for dth in dthetas:
+            sst = jnp.full(w.shape, 273.15 + 15.0)
+            t_zt = sst + dth
+            slp = jnp.full(w.shape, 101000.0)
+            q_zt = args.rh / 100.0 * thermo.q_sat(t_zt, slp)
+            out, _ = flux_step(cfg, sst, t_zt, q_zt, jnp.asarray(w),
+                               jnp.zeros_like(sst), slp)
+            d = out.diag
+            result["curves"][f"{algo}_dT{dth:+.1f}"] = {
+                "Cd": np.asarray(d.Cd).tolist(),
+                "Ch": np.asarray(d.Ch).tolist(),
+                "Ce": np.asarray(d.Ce).tolist(),
+                "z0": np.asarray(d.z0).tolist(),
+                "u_star": np.asarray(d.u_star).tolist(),
+                "UN10": np.asarray(d.UN10).tolist(),
+            }
+    with open(args.out, "w") as fh:
+        json.dump(result, fh)
+    print(f"wrote {len(result['curves'])} curve sets to {args.out}")
+
+
+def cmd_coef_n10(args):
+    """Neutral-coefficient curves CxN10(UN10) (test_coef_n10.f90;
+    nb_iter=50)."""
+    import jax.numpy as jnp
+    from .algos.neutral_10m import turb_neutral_10m
+
+    un10 = np.linspace(0.5, 40.0, 396)
+    result = {"UN10": un10.tolist(), "curves": {}}
+    for algo in args.algos.split(","):
+        cdn, chn, cen, z0 = turb_neutral_10m(algo, jnp.asarray(un10),
+                                             niter=50)
+        result["curves"][algo] = {
+            "CdN10": np.asarray(cdn).tolist(),
+            "ChN10": np.asarray(chn).tolist(),
+            "CeN10": np.asarray(cen).tolist(),
+            "z0": np.asarray(z0).tolist(),
+        }
+    with open(args.out, "w") as fh:
+        json.dump(result, fh)
+    print(f"wrote neutral-coefficient curves to {args.out}")
+
+
+def cmd_psi_stab(args):
+    """psi_m / psi_h profiles on zeta in [-15, 15] (test_psi_stab.f90)."""
+    import jax.numpy as jnp
+    from . import stability as st
+
+    zeta = np.linspace(-15.0, 15.0, 1001)
+    z = jnp.asarray(zeta)
+    fams = {
+        "coare": (st.psi_m_coare, st.psi_h_coare),
+        "ncar": (st.psi_m_ncar, st.psi_h_ncar),
+        "ecmwf": (st.psi_m_ecmwf, st.psi_h_ecmwf),
+        "andreas": (st.psi_m_andreas, st.psi_h_andreas),
+        "grachev07": (st.psi_m_grachev07, st.psi_h_grachev07),
+        "ice": (st.psi_m_ice, st.psi_h_ice),
+    }
+    result = {"zeta": zeta.tolist(), "curves": {}}
+    for name, (pm, ph) in fams.items():
+        result["curves"][name] = {"psi_m": np.asarray(pm(z)).tolist(),
+                                  "psi_h": np.asarray(ph(z)).tolist()}
+    with open(args.out, "w") as fh:
+        json.dump(result, fh)
+    print(f"wrote psi profiles to {args.out}")
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="aerobulk-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("toy", help="single-point all-algo comparison")
+    t.add_argument("--zu", type=float, default=10.0)
+    t.add_argument("--zt", type=float, default=2.0)
+    t.add_argument("--sst", type=float, default=22.0, help="SST [C]")
+    t.add_argument("--t", type=float, default=20.0, help="air temp [C]")
+    t.add_argument("--q", type=float, default=12.0, help="spec hum [g/kg]")
+    t.add_argument("--wind", type=float, default=5.0, help="wind [m/s]")
+    t.add_argument("--slp", type=float, default=1010.0, help="slp [hPa]")
+    t.add_argument("--niter", type=int, default=20)
+    t.set_defaults(fn=cmd_toy)
+
+    it = sub.add_parser("ice-toy", help="single-point ice-algo comparison")
+    it.add_argument("--zu", type=float, default=10.0)
+    it.add_argument("--zt", type=float, default=2.0)
+    it.add_argument("--ts", type=float, default=-10.0, help="ice temp [C]")
+    it.add_argument("--t", type=float, default=-12.0, help="air temp [C]")
+    it.add_argument("--rh", type=float, default=80.0, help="rel hum [%]")
+    it.add_argument("--wind", type=float, default=7.0)
+    it.add_argument("--slp", type=float, default=1000.0)
+    it.add_argument("--frice", type=float, default=0.8)
+    it.add_argument("--niter", type=int, default=8)
+    it.set_defaults(fn=cmd_ice_toy)
+
+    s = sub.add_parser("series", help="time-series run over a forcing file")
+    s.add_argument("file", help="forcing file (.nc NetCDF3/4 or .npz)")
+    s.add_argument("--algo", default="coare3p6")
+    s.add_argument("--zt", type=float, default=2.0)
+    s.add_argument("--zu", type=float, default=10.0)
+    s.add_argument("--niter", type=int, default=20)
+    s.add_argument("--skin", action="store_true")
+    s.add_argument("--out", default="aerobulk_series.nc")
+    s.set_defaults(fn=cmd_series)
+
+    cx = sub.add_parser("cx-vs-wind", help="transfer-coef vs wind sweeps")
+    cx.add_argument("--algos", default="coare3p0,coare3p6,ncar,ecmwf,andreas")
+    cx.add_argument("--dtheta", default="-5,-2,0,2,5",
+                    help="air-sea potential temp differences [K]")
+    cx.add_argument("--rh", type=float, default=80.0)
+    cx.add_argument("--zt", type=float, default=10.0)
+    cx.add_argument("--zu", type=float, default=10.0)
+    cx.add_argument("--out", default="cx_vs_wind.json")
+    cx.set_defaults(fn=cmd_cx_vs_wind)
+
+    cn = sub.add_parser("coef-n10", help="neutral coefficient curves")
+    cn.add_argument("--algos", default="coare3p0,coare3p6,ncar,ecmwf,andreas")
+    cn.add_argument("--out", default="coef_n10.json")
+    cn.set_defaults(fn=cmd_coef_n10)
+
+    ps = sub.add_parser("psi-stab", help="stability-function profiles")
+    ps.add_argument("--out", default="psi_stab.json")
+    ps.set_defaults(fn=cmd_psi_stab)
+
+    b = sub.add_parser("bench", help="per-chip benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
