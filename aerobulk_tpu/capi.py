@@ -1,0 +1,80 @@
+"""Flat-array entry points for the C/C++ binding.
+
+The reference exposes its compute core to C++ GCMs (e.g. neXtSIM) through
+``BIND(c)`` shims that flatten 2-D fields to 1-D (mod_aerobulk_cxx.f90:29-95).
+Here the equivalent is :func:`model_buffers`: it takes Python buffer objects
+(memoryviews handed over by the C++ layer, zero-copy), runs the jitted flux
+step, and writes results into caller-provided output buffers.
+
+Warm-layer state semantics mirror ``AEROBULK_MODEL``
+(mod_aerobulk.f90:176-268): state is (re)initialized when ``jt == 1`` and
+dropped after ``jt == Nt``; between those calls it persists in a process-
+local registry keyed by (algo, n points).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+_STATE: Dict[Tuple[str, int], object] = {}
+
+
+def model_buffers(jt, Nt, calgo, zt, zu, sst, t_zt, hum_zt, U_zu, V_zu, slp,
+                  QL, QH, Tau_x, Tau_y, Evap, niter=5, use_skin=False,
+                  rad_sw=None, rad_lw=None, T_s=None):
+    """Run one time record over flat buffers.
+
+    All array arguments are 1-D buffers of float64 with the same length;
+    output buffers (QL..Evap, optionally T_s) are written in place.
+    """
+    import os
+
+    import jax
+    # The C binding contract is float64 end-to-end (the reference core is
+    # compiled with -fdefault-real-8), and TPUs have no native fp64 — so
+    # this path defaults to the host CPU backend.  Set
+    # AEROBULK_CAPI_PLATFORM=tpu (with fp32 inputs) to opt into the chip.
+    jax.config.update("jax_platforms",
+                      os.environ.get("AEROBULK_CAPI_PLATFORM", "cpu"))
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from .api import AeroBulkConfig, flux_step, init_skin_state
+
+    def in_arr(b):
+        return jnp.asarray(np.frombuffer(b, dtype=np.float64))
+
+    sst_a = in_arr(sst)
+    n = sst_a.shape[0]
+    cfg = AeroBulkConfig(algo=calgo, zt=float(zt), zu=float(zu),
+                         niter=int(niter), use_skin=bool(use_skin))
+
+    key = (calgo, n)
+    if int(jt) == 1 or key not in _STATE:
+        _STATE[key] = init_skin_state(cfg, (n,), jnp.float64)
+    state = _STATE[key]
+
+    kw = {}
+    if use_skin:
+        kw = dict(rad_sw=in_arr(rad_sw), rad_lw=in_arr(rad_lw))
+    out, new_state = flux_step(cfg, sst_a, in_arr(t_zt), in_arr(hum_zt),
+                               in_arr(U_zu), in_arr(V_zu), in_arr(slp),
+                               skin_state=state, **kw)
+
+    if int(jt) >= int(Nt):
+        _STATE.pop(key, None)
+    else:
+        _STATE[key] = new_state
+
+    def out_arr(b, x):
+        np.frombuffer(b, dtype=np.float64)[:] = np.asarray(x, np.float64)
+
+    out_arr(QL, out.QL)
+    out_arr(QH, out.QH)
+    out_arr(Tau_x, out.Tau_x)
+    out_arr(Tau_y, out.Tau_y)
+    out_arr(Evap, out.Evap)
+    if T_s is not None:
+        out_arr(T_s, out.T_s)
+    return 0

@@ -385,11 +385,13 @@ def un10_from_cd(zu, Ub, Cd, psi):
 
 
 # Liu-Katsaros-Businger (1979) piecewise-power lookup (mod_phymbl.f90:1635-1701)
-_LKB_XA = jnp.array([[0.177, 1.376, 1.026, 1.625, 4.661, 34.904, 1667.19, 5.88e5],
-                     [0.292, 1.808, 1.393, 1.956, 4.994, 30.709, 1448.68, 2.98e5]])
-_LKB_XB = jnp.array([[0.0, 0.929, -0.599, -1.018, -1.475, -2.067, -2.907, -3.935],
-                     [0.0, 0.826, -0.528, -0.870, -1.297, -1.845, -2.682, -3.616]])
-_LKB_XRAN = jnp.array([0.0, 0.11, 0.825, 3.0, 10.0, 30.0, 100.0, 300.0, 1000.0])
+# NB: plain tuples here — creating jnp arrays at import time would
+# initialize a JAX backend before callers can choose a platform.
+_LKB_XA = ((0.177, 1.376, 1.026, 1.625, 4.661, 34.904, 1667.19, 5.88e5),
+           (0.292, 1.808, 1.393, 1.956, 4.994, 30.709, 1448.68, 2.98e5))
+_LKB_XB = ((0.0, 0.929, -0.599, -1.018, -1.475, -2.067, -2.907, -3.935),
+           (0.0, 0.826, -0.528, -0.870, -1.297, -1.845, -2.682, -3.616))
+_LKB_XRAN = (0.0, 0.11, 0.825, 3.0, 10.0, 30.0, 100.0, 300.0, 1000.0)
 
 
 def z0tq_lkb(iflag, Rer, z0):
@@ -401,9 +403,9 @@ def z0tq_lkb(iflag, Rer, z0):
     saturates at 0.05 m exactly as the reference's -999 sentinel does
     after its |.| clamp.
     """
-    xa = _LKB_XA[iflag - 1].astype(Rer.dtype)
-    xb = _LKB_XB[iflag - 1].astype(Rer.dtype)
-    edges = _LKB_XRAN.astype(Rer.dtype)
+    xa = jnp.asarray(_LKB_XA[iflag - 1], Rer.dtype)
+    xb = jnp.asarray(_LKB_XB[iflag - 1], Rer.dtype)
+    edges = jnp.asarray(_LKB_XRAN, Rer.dtype)
     # interval index: count of edges[0..7] strictly below Rer -> 1..8
     jm = jnp.searchsorted(edges[:-1], Rer, side="left")
     jm_c = jnp.clip(jm - 1, 0, 7)
