@@ -1,0 +1,5 @@
+"""Pallas TPU kernels for the hot flux paths."""
+
+from .fused import fused_flux_step, pallas_available
+
+__all__ = ["fused_flux_step", "pallas_available"]

@@ -19,6 +19,7 @@ import math
 import jax.numpy as jnp
 
 from .constants import rpi
+from .math_compat import arctan
 from .thermo import step
 
 __all__ = [
@@ -37,10 +38,10 @@ def psi_m_coare(zeta):
     phi_m = jnp.abs(1.0 - 15.0 * zeta) ** 0.25
     psi_k = (2.0 * jnp.log((1.0 + phi_m) / 2.0)
              + jnp.log((1.0 + phi_m * phi_m) / 2.0)
-             - 2.0 * jnp.arctan(phi_m) + 0.5 * rpi)
+             - 2.0 * arctan(phi_m) + 0.5 * rpi)
     phi_c = jnp.abs(1.0 - 10.15 * zeta) ** 0.3333
     psi_c = (1.5 * jnp.log((1.0 + phi_c + phi_c * phi_c) / 3.0)
-             - 1.7320508 * jnp.arctan((1.0 + 2.0 * phi_c) / 1.7320508)
+             - 1.7320508 * arctan((1.0 + 2.0 * phi_c) / 1.7320508)
              + 1.813799447)
     f = zeta * zeta
     f = f / (1.0 + f)
@@ -57,7 +58,7 @@ def psi_h_coare(zeta):
     psi_k = 2.0 * jnp.log((1.0 + phi_h) / 2.0)
     phi_c = jnp.abs(1.0 - 34.15 * zeta) ** 0.3333
     psi_c = (1.5 * jnp.log((1.0 + phi_c + phi_c * phi_c) / 3.0)
-             - 1.7320508 * jnp.arctan((1.0 + 2.0 * phi_c) / 1.7320508)
+             - 1.7320508 * arctan((1.0 + 2.0 * phi_c) / 1.7320508)
              + 1.813799447)
     f = zeta * zeta
     f = f / (1.0 + f)
@@ -78,7 +79,7 @@ def psi_m_ncar(zeta):
     x = jnp.sqrt(x2)
     psi_unst = (2.0 * jnp.log((1.0 + x) * 0.5)
                 + jnp.log((1.0 + x2) * 0.5)
-                - 2.0 * jnp.arctan(x) + rpi * 0.5)
+                - 2.0 * arctan(x) + rpi * 0.5)
     psi_stab = -5.0 * zeta
     stb = step(zeta)
     return stb * psi_stab + (1.0 - stb) * psi_unst
@@ -110,7 +111,7 @@ def psi_m_ecmwf(zeta):
     x = jnp.sqrt(x2)
     t = 1.0 + x
     psi_unst = (jnp.log(0.125 * t * t * (1.0 + x2))
-                - 2.0 * jnp.arctan(x) + 0.5 * rpi)
+                - 2.0 * arctan(x) + 0.5 * rpi)
     psi_stab = (-2.0 / 3.0 * (zta - zc) * jnp.exp(-0.35 * zta)
                 - zta - 2.0 / 3.0 * zc)
     stb = step(zta)
@@ -144,14 +145,14 @@ def psi_m_andreas(zeta):
     x = jnp.sqrt(x2)
     psi_unst = (2.0 * jnp.log(jnp.abs((1.0 + x) * 0.5))
                 + jnp.log(jnp.abs((1.0 + x2) * 0.5))
-                - 2.0 * jnp.arctan(x) + rpi * 0.5)
+                - 2.0 * arctan(x) + rpi * 0.5)
     xs = jnp.abs(1.0 + zta) ** one_third
     bbm = abs((1.0 - bm) / bm) ** one_third  # scalar B_m
     psi_stab = (-3.0 * am / bm * (xs - 1.0) + am * bbm / (2.0 * bm) * (
         2.0 * jnp.log(jnp.abs((xs + bbm) / (1.0 + bbm)))
         - jnp.log(jnp.abs((xs * xs - xs * bbm + bbm * bbm)
                           / (1.0 - bbm + bbm * bbm)))
-        + 2.0 * sr3 * (jnp.arctan((2.0 * xs - bbm) / (sr3 * bbm))
+        + 2.0 * sr3 * (arctan((2.0 * xs - bbm) / (sr3 * bbm))
                        - math.atan((2.0 - bbm) / (sr3 * bbm)))))
     stb = step(zta)
     return stb * psi_stab + (1.0 - stb) * psi_unst
@@ -195,7 +196,7 @@ def psi_m_ice(zeta):
     (mod_blk_ice_an05.f90:316-360)."""
     x = jnp.abs(1.0 - 16.0 * zeta) ** 0.25
     psi_u = (jnp.log((1.0 + x * x) / 2.0) + 2.0 * jnp.log((1.0 + x) / 2.0)
-             - 2.0 * jnp.arctan(x) + 0.5 * rpi)
+             - 2.0 * arctan(x) + 0.5 * rpi)
     stb = step(zeta)
     return (1.0 - stb) * psi_u + stb * _psi_s_holtslag(zeta)
 
@@ -213,7 +214,7 @@ def psi_m_grachev07(zeta):
     """Grachev-07 psi_m (mod_blk_grachev07.f90:49-70)."""
     x = jnp.abs(1.0 - 16.0 * zeta) ** 0.25
     psi_u = (jnp.log(0.5 * (1.0 + x * x)) + 2.0 * jnp.log(0.5 * (1.0 + x))
-             - 2.0 * jnp.arctan(x) + 0.5 * rpi)
+             - 2.0 * arctan(x) + 0.5 * rpi)
     psi_s = 1.0 + 6.5 * zeta * (1.0 + zeta) ** 0.3333333 / (1.3 + zeta)
     return jnp.where(zeta < 0.0, psi_u, -psi_s)
 

@@ -1,0 +1,72 @@
+"""Parity tests for the fused Pallas kernel (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aerobulk_tpu.api import AeroBulkConfig, flux_step, init_skin_state
+from aerobulk_tpu.kernels import fused_flux_step
+from aerobulk_tpu.math_compat import arctan, pallas_safe_math
+
+
+def test_pallas_safe_arctan_accuracy():
+    x = jnp.asarray(np.concatenate([np.linspace(-40, 40, 50001),
+                                    np.linspace(-1.2, 1.2, 20001)]))
+    with pallas_safe_math():
+        mine = np.asarray(arctan(x))
+    np.testing.assert_allclose(mine, np.arctan(np.asarray(x)), atol=5e-11)
+    # and outside the context it is jnp.arctan (1-ulp agreement with numpy)
+    np.testing.assert_allclose(np.asarray(arctan(x)),
+                               np.arctan(np.asarray(x)), atol=1e-15)
+
+
+def test_fused_kernel_matches_jit_path():
+    cfg = AeroBulkConfig(algo="coare3p6", niter=4, use_skin=True)
+    shape = (16, 256)
+    rng = np.random.default_rng(11)
+    mk = lambda a: jnp.asarray(a)   # fp64 on CPU
+    sst = mk(285.0 + 15.0 * rng.random(shape))
+    t = mk(np.asarray(sst) + rng.normal(0, 2, shape))
+    q = mk(0.004 + 0.012 * rng.random(shape))
+    u = mk(rng.normal(0, 6, shape))
+    v = mk(rng.normal(0, 6, shape))
+    slp = mk(98000 + 4000 * rng.random(shape))
+    rsw = mk(500 * rng.random(shape))
+    rlw = mk(250 + 150 * rng.random(shape))
+    lon = mk(360 * rng.random(shape))
+    st = init_skin_state(cfg, shape)
+
+    out, ns = flux_step(cfg, sst, t, q, u, v, slp, rad_sw=rsw, rad_lw=rlw,
+                        isecday_utc=43200, lon=lon, skin_state=st)
+    ref = (out.QL, out.QH, out.Tau_x, out.Tau_y, out.Evap, out.T_s)
+
+    p_outs, p_ns = fused_flux_step(cfg, sst, t, q, u, v, slp, rsw, rlw,
+                                   lon=lon, skin_state=st, block=(8, 128),
+                                   interpret=True)
+    # fp64 interpret mode: only the arctan approximation differs (~1e-10)
+    for name, a, b in zip(("QL", "QH", "Tx", "Ty", "E", "Ts"), ref, p_outs):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-7, atol=1e-9, err_msg=name)
+    np.testing.assert_allclose(np.asarray(p_ns.dT_wl), np.asarray(ns.dT_wl),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_fused_kernel_padding():
+    """Non-tile-aligned shapes go through the pad/unpad path unchanged."""
+    cfg = AeroBulkConfig(algo="coare3p6", niter=2, use_skin=True)
+    shape = (13, 140)   # not multiples of (8, 128)
+    rng = np.random.default_rng(5)
+    mk = lambda a: jnp.asarray(a)
+    sst = mk(290.0 + 5.0 * rng.random(shape))
+    t = mk(np.asarray(sst) - 1.0)
+    q = mk(jnp.full(shape, 0.01))
+    u = mk(jnp.full(shape, 6.0))
+    v = mk(jnp.zeros(shape))
+    slp = mk(jnp.full(shape, 101000.0))
+    rsw = mk(jnp.full(shape, 400.0))
+    rlw = mk(jnp.full(shape, 380.0))
+
+    p_outs, _ = fused_flux_step(cfg, sst, t, q, u, v, slp, rsw, rlw,
+                                block=(8, 128), interpret=True)
+    assert p_outs[0].shape == shape
+    assert np.all(np.isfinite(np.asarray(p_outs[0])))
