@@ -1,0 +1,106 @@
+"""Diagnostic figures — the python/plot_tests equivalents.
+
+Consumes the JSON / NetCDF artifacts the CLI sweeps produce:
+
+  plot_cx_wind        <- cli cx-vs-wind   (plot_Cx_wind.py analogue)
+  plot_coef_n10       <- cli coef-n10     (plot_CxN10_UN10.py analogue)
+  plot_psi_profiles   <- cli psi-stab     (plot_Psi_profiles.py analogue)
+  plot_station_series <- cli series       (plot_station_asf.py analogue)
+
+All functions take the artifact path and save a PNG; headless Agg backend.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+__all__ = ["plot_cx_wind", "plot_coef_n10", "plot_psi_profiles",
+           "plot_station_series"]
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_cx_wind(json_path: str, out_png: str = "cx_vs_wind.png",
+                 coef: str = "Cd"):
+    plt = _plt()
+    with open(json_path) as fh:
+        data = json.load(fh)
+    w = np.asarray(data["wind"])
+    fig, ax = plt.subplots(figsize=(10, 6), dpi=100)
+    for name, curves in sorted(data["curves"].items()):
+        ax.plot(w, 1e3 * np.asarray(curves[coef]), lw=1, label=name)
+    ax.set_xlabel("wind speed at zu [m/s]")
+    ax.set_ylabel(f"{coef} [10^-3]")
+    ax.set_title(f"{coef} vs wind")
+    ax.grid(alpha=0.3)
+    ax.legend(fontsize=7, ncol=2)
+    fig.savefig(out_png, bbox_inches="tight")
+    plt.close(fig)
+    return out_png
+
+
+def plot_coef_n10(json_path: str, out_png: str = "coef_n10.png"):
+    plt = _plt()
+    with open(json_path) as fh:
+        data = json.load(fh)
+    u = np.asarray(data["UN10"])
+    fig, axes = plt.subplots(1, 3, figsize=(15, 5), dpi=100, sharex=True)
+    for algo, c in sorted(data["curves"].items()):
+        for ax, key in zip(axes, ("CdN10", "ChN10", "CeN10")):
+            ax.plot(u, 1e3 * np.asarray(c[key]), lw=1.2, label=algo)
+    for ax, key in zip(axes, ("CdN10", "ChN10", "CeN10")):
+        ax.set_xlabel("UN10 [m/s]")
+        ax.set_ylabel(f"{key} [10^-3]")
+        ax.grid(alpha=0.3)
+    axes[0].legend(fontsize=8)
+    fig.savefig(out_png, bbox_inches="tight")
+    plt.close(fig)
+    return out_png
+
+
+def plot_psi_profiles(json_path: str, out_png: str = "psi_profiles.png"):
+    plt = _plt()
+    with open(json_path) as fh:
+        data = json.load(fh)
+    z = np.asarray(data["zeta"])
+    fig, (axm, axh) = plt.subplots(1, 2, figsize=(13, 6), dpi=100)
+    for fam, c in sorted(data["curves"].items()):
+        axm.plot(z, c["psi_m"], lw=1.2, label=fam)
+        axh.plot(z, c["psi_h"], lw=1.2, label=fam)
+    for ax, t in ((axm, "psi_m"), (axh, "psi_h")):
+        ax.set_xlabel("zeta = z/L")
+        ax.set_ylabel(t)
+        ax.set_ylim(-20, 6)
+        ax.grid(alpha=0.3)
+    axm.legend(fontsize=8)
+    fig.savefig(out_png, bbox_inches="tight")
+    plt.close(fig)
+    return out_png
+
+
+def plot_station_series(nc_path: str, out_png: str = "station_series.png",
+                        variables=("Qlat", "Qsen", "Tau", "dT_wl")):
+    plt = _plt()
+    from . import io as abio
+    data = abio.read_forcing(nc_path)
+    t = np.asarray(data.get("time", np.arange(len(next(iter(data.values()))))))
+    t_days = (t - t[0]) / 86400.0
+    n = len(variables)
+    fig, axes = plt.subplots(n, 1, figsize=(13, 2.6 * n), dpi=100,
+                             sharex=True)
+    for ax, v in zip(np.atleast_1d(axes), variables):
+        if v in data:
+            ax.plot(t_days, np.asarray(data[v]), lw=0.8)
+        ax.set_ylabel(v)
+        ax.grid(alpha=0.3)
+    np.atleast_1d(axes)[-1].set_xlabel("days")
+    fig.savefig(out_png, bbox_inches="tight")
+    plt.close(fig)
+    return out_png

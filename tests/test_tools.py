@@ -1,0 +1,133 @@
+"""Tests for the tooling layer: neutral-coefficient curves, plotting,
+forcing prep, init validation, CLI artifacts."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aerobulk_tpu import prepare_forcing
+from aerobulk_tpu.algos.neutral_10m import turb_neutral_10m
+from aerobulk_tpu.api import AeroBulkConfig, detect_humidity_type, init
+
+
+def test_neutral_10m_curves_properties():
+    u = jnp.linspace(1.0, 40.0, 200)
+    for algo in ("coare3p0", "coare3p6", "ecmwf", "ncar", "andreas"):
+        cdn, chn, cen, z0 = turb_neutral_10m(algo, u, niter=20)
+        cdn, chn, cen, z0 = map(np.asarray, (cdn, chn, cen, z0))
+        assert np.all(np.isfinite(cdn)) and np.all(cdn > 1e-4), algo
+        assert np.all(z0 > 0), algo
+        # CdN10 grows with wind in the 5-25 m/s range for every scheme
+        i5, i25 = np.searchsorted(np.asarray(u), [5.0, 25.0])
+        assert cdn[i25] > cdn[i5], algo
+
+
+def test_neutral_10m_ncar_cyclone_branch():
+    u = jnp.asarray([34.0, 40.0, 45.0])
+    cdn, _, _, _ = turb_neutral_10m("ncar", u)
+    np.testing.assert_allclose(np.asarray(cdn), 2.34e-3, rtol=1e-12)
+
+
+def test_neutral_10m_coare36_charnock_capped():
+    """Above 18 m/s the 3.6 Charnock levels off at 0.028 — the CdN slope
+    flattens relative to below the cap."""
+    u = jnp.asarray([10.0, 14.0, 22.0, 26.0])
+    cdn, _, _, _ = turb_neutral_10m("coare3p6", u, niter=30)
+    cdn = np.asarray(cdn)
+    slope_low = (cdn[1] - cdn[0]) / 4.0
+    slope_high = (cdn[3] - cdn[2]) / 4.0
+    assert slope_high < slope_low * 1.8   # no runaway growth past the cap
+
+
+def test_detect_humidity_type():
+    assert detect_humidity_type(np.full((4,), 0.012)) == "sh"
+    assert detect_humidity_type(np.full((4,), 75.0)) == "rh"
+    assert detect_humidity_type(np.full((4,), 285.0)) == "dp"
+    with pytest.raises(ValueError):
+        detect_humidity_type(np.full((4,), 1.0e6))
+
+
+def test_init_validation():
+    cfg = AeroBulkConfig(algo="ncar", humidity="auto")
+    n = 4
+    ok = dict(sst=np.full(n, 290.0), t_zt=np.full(n, 288.0),
+              hum_zt=np.full(n, 0.01), U_zu=np.full(n, 5.0),
+              V_zu=np.zeros(n), slp=np.full(n, 101000.0))
+    mask, htype = init(cfg, **ok)
+    assert htype == "sh" and mask.all()
+
+    # wrong units (hPa instead of Pa) must abort
+    bad = dict(ok, slp=np.full(n, 1010.0))
+    with pytest.raises(ValueError):
+        init(cfg, **bad)
+
+
+def test_q2_from_d2_roundtrip():
+    from aerobulk_tpu import thermo
+    d2 = np.linspace(270.0, 300.0, 7)
+    slp = np.full(7, 101000.0)
+    q2 = prepare_forcing.q2_from_d2_slp(d2, slp)
+    ref = np.asarray(thermo.q_air_dp(jnp.asarray(d2), jnp.asarray(slp)))
+    np.testing.assert_allclose(q2, ref, rtol=1e-12)
+
+
+def test_normalize_units():
+    assert prepare_forcing.normalize_units("sst", np.array([15.0]))[0] == \
+        pytest.approx(288.15)
+    assert prepare_forcing.normalize_units("sst", np.array([288.15]))[0] == \
+        pytest.approx(288.15)
+    assert prepare_forcing.normalize_units("slp", np.array([1013.0]))[0] == \
+        pytest.approx(101300.0)
+
+
+def test_cli_sweeps_and_plots(tmp_path):
+    from aerobulk_tpu.cli import main
+    from aerobulk_tpu import plotting
+
+    psi = str(tmp_path / "psi.json")
+    cn10 = str(tmp_path / "cn10.json")
+    main(["psi-stab", "--out", psi])
+    main(["coef-n10", "--algos", "ncar,andreas", "--out", cn10])
+
+    with open(psi) as fh:
+        data = json.load(fh)
+    assert set(data["curves"]) >= {"coare", "ncar", "ecmwf", "andreas",
+                                   "grachev07", "ice"}
+    # psi(0-) ~ 0 for every family: neutral limit from the unstable side
+    # (grachev07's *stable* branch is discontinuous at 0 by construction,
+    # Eq. 9a of Grachev et al. 2007 evaluates to -1 at zeta=0+)
+    z = np.asarray(data["zeta"])
+    i0 = int(np.searchsorted(z, 0.0)) - 1   # last strictly-negative zeta
+    assert z[i0] < 0.0
+    for fam, cur in data["curves"].items():
+        assert abs(cur["psi_m"][i0]) < 0.3, (fam, cur["psi_m"][i0])
+
+    out1 = plotting.plot_psi_profiles(psi, str(tmp_path / "psi.png"))
+    out2 = plotting.plot_coef_n10(cn10, str(tmp_path / "cn10.png"))
+    import os
+    assert os.path.getsize(out1) > 10000
+    assert os.path.getsize(out2) > 10000
+
+
+def test_cli_series_roundtrip(tmp_path):
+    from aerobulk_tpu.cli import main
+    from aerobulk_tpu import io as abio
+
+    nt = 12
+    h = np.arange(nt)
+    forcing = str(tmp_path / "forcing.npz")
+    np.savez(forcing,
+             sst=np.full(nt, 295.0), t_air=np.full(nt, 294.0),
+             q_air=np.full(nt, 0.013), wndspd=4.0 + 0.3 * h,
+             msl=np.full(nt, 101000.0),
+             ssrd=np.maximum(0, 500 * np.sin(h / 24 * 2 * np.pi)),
+             strd=np.full(nt, 400.0), time=h * 3600.0)
+    out = str(tmp_path / "series.nc")
+    main(["series", forcing, "--algo", "coare3p6", "--skin",
+          "--niter", "6", "--out", out])
+    back = abio.read_forcing(out)
+    assert len(back["Qlat"]) == nt
+    assert np.all(np.isfinite(back["Qlat"]))
+    assert np.all(np.isfinite(back["dT_wl"]))
