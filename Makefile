@@ -1,0 +1,28 @@
+# aerobulk_tpu build/test driver (replaces the reference's Makefile+arch layer:
+# there is nothing to compile on the Python side; native targets cover cpp/).
+
+PY ?= python3
+
+.PHONY: test test-fast bench cpp cpp-example toy clean
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+test-fast:
+	$(PY) -m pytest tests/ -x -q --ignore=tests/test_validation.py
+
+bench:
+	$(PY) bench.py
+
+cpp:
+	cmake -S cpp -B cpp/build -G Ninja -DCMAKE_BUILD_TYPE=Release
+	ninja -C cpp/build
+
+cpp-example: cpp
+	PYTHONPATH=$(CURDIR):$$PYTHONPATH ./cpp/build/example_call_aerobulk
+
+toy:
+	$(PY) -m aerobulk_tpu.cli toy
+
+clean:
+	rm -rf cpp/build aerobulk_tpu/__pycache__ tests/__pycache__

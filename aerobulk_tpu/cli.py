@@ -117,11 +117,17 @@ def cmd_ice_toy(args):
 
 
 def cmd_series(args):
-    """Time-series run over a forcing file (buoy-series driver)."""
+    """Time-series run over a forcing file: ocean algorithms via the
+    lax.scan driver (test_aerobulk_buoy_series_oce.x analogue) or, with
+    ``--ice``, the ice algorithm family over ice-station forcing
+    (test_aerobulk_buoy_series_ice.x analogue)."""
     import jax.numpy as jnp
     from . import io as abio
     from . import thermo, constants as c
     from .api import AeroBulkConfig, run_series
+
+    if args.algo.startswith("ice_"):
+        return _series_ice(args)
 
     f = abio.read_forcing(args.file)
     nt = len(f["sst"])
@@ -182,6 +188,80 @@ def cmd_series(args):
     }
     abio.write_series(args.out, time, variables)
     print(f"wrote {len(variables)} series of {nt} records to {args.out}")
+
+
+def _series_ice(args):
+    """Ice-algorithm time series (no cross-step state -> plain loop over
+    jitted steps; forcing must provide Ts_i as `sst` or `ts_i`, and
+    optionally `frice`)."""
+    import jax
+    import jax.numpy as jnp
+    from . import io as abio
+    from . import constants as c
+    from .api import flux_step_ice
+
+    f = abio.read_forcing(args.file)
+    key_ts = "ts_i" if "ts_i" in f else "sst"
+    nt = len(f[key_ts])
+
+    def col(name, *alts, default=None):
+        for n in (name,) + alts:
+            if n in f:
+                return np.atleast_1d(np.asarray(f[n], np.float64)).reshape(nt, -1)
+        if default is not None:
+            return np.full((nt, 1), default)
+        raise KeyError(f"forcing variable {name!r} not found")
+
+    Ts = col(key_ts)
+    Ts = Ts + c.rt0 if Ts.mean() < 200.0 else Ts
+    t_air = col("t_air", "t2m")
+    t_air = t_air + c.rt0 if t_air.mean() < 200.0 else t_air
+    hum = col("q_air", "q2m")
+    slp = col("slp", "msl", default=101000.0)
+    if "wndspd" in f:
+        u, v = col("wndspd"), np.zeros((nt, 1))
+    else:
+        u, v = col("u_wnd", "u10"), col("v_wnd", "v10")
+    frice = col("frice", "siconc", "at_i", default=1.0)
+
+    @jax.jit
+    def step(Ts, t, q, u, v, slp, A):
+        out, diag = flux_step_ice(args.algo, args.zt, args.zu, Ts, t, q,
+                                  u, v, slp, frice=A, niter=args.niter)
+        return out.QL, out.QH, out.Tau, out.Evap, diag.Cd, diag.Ch
+
+    rows = [step(*(jnp.asarray(x[jt]) for x in (Ts, t_air, hum, u, v, slp,
+                                                frice)))
+            for jt in range(nt)]
+    series = [np.stack([np.asarray(r[i])[0] for r in rows]) for i in range(6)]
+    time = np.asarray(f.get("time", np.arange(nt) * 3600.0), np.float64)
+    abio.write_series(args.out, time, dict(
+        Qlat=series[0], Qsen=series[1], Tau=series[2], Evap=series[3],
+        Cd=series[4], Ch=series[5]))
+    print(f"wrote ice series ({args.algo}) of {nt} records to {args.out}")
+
+
+def cmd_cdnf(args):
+    """Neutral form-drag coefficient variants vs ice concentration
+    (test_aerobulk_cdnf_series.x analogue)."""
+    import jax.numpy as jnp
+    from .ice import form_drag as fd
+
+    A = jnp.linspace(0.0, 1.0, args.n)
+    z0w = jnp.full_like(A, 3.27e-4)
+    z0i = jnp.full_like(A, 4.54e-4)
+    out = {
+        "frice": np.asarray(A).tolist(),
+        "CdN10_f_LU12": np.asarray(fd.cdn10_f_lu12(A, z0w)).tolist(),
+        "CdN_f_LU12_eq36": np.asarray(fd.cdn_f_lu12_eq36(args.zu, A)).tolist(),
+        "CdN10_f_LU13": np.asarray(fd.cdn10_f_lu13(A)).tolist(),
+        "CdN_f_LG15": np.asarray(fd.cdn_f_lg15(args.zu, A, z0i)).tolist(),
+        "CdN_f_LG15_light": np.asarray(
+            fd.cdn_f_lg15_light(args.zu, A, z0w)).tolist(),
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh)
+    print(f"wrote form-drag curves to {args.out}")
 
 
 def cmd_cx_vs_wind(args):
@@ -308,6 +388,12 @@ def main(argv=None):
     s.add_argument("--skin", action="store_true")
     s.add_argument("--out", default="aerobulk_series.nc")
     s.set_defaults(fn=cmd_series)
+
+    cf = sub.add_parser("cdnf", help="ice form-drag curves vs concentration")
+    cf.add_argument("--zu", type=float, default=10.0)
+    cf.add_argument("--n", type=int, default=101)
+    cf.add_argument("--out", default="cdnf_curves.json")
+    cf.set_defaults(fn=cmd_cdnf)
 
     cx = sub.add_parser("cx-vs-wind", help="transfer-coef vs wind sweeps")
     cx.add_argument("--algos", default="coare3p0,coare3p6,ncar,ecmwf,andreas")

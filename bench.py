@@ -12,6 +12,7 @@ the true baseline remains "none published".
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -79,5 +80,100 @@ def main():
     }))
 
 
+def _timeit_scan(step_fn, carry, reps):
+    import jax
+
+    @jax.jit
+    def steps(c):
+        def body(c, _):
+            return step_fn(c), None
+        c, _ = jax.lax.scan(body, c, None, length=reps)
+        return c
+
+    jax.block_until_ready(steps(carry))
+    t0 = time.perf_counter()
+    jax.block_until_ready(steps(carry))
+    return (time.perf_counter() - t0) / reps
+
+
+def _mk_inputs(shape, dtype, seed=42, cold=False):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    base = 250.0 if cold else 285.0
+    spread = 25.0 if cold else 15.0
+    sst = base + spread * rng.random(shape)
+    return {
+        "sst": jnp.asarray(sst, dtype),
+        "t": jnp.asarray(sst + rng.normal(0.0, 2.0, shape), dtype),
+        "q": jnp.asarray(0.0005 + 0.012 * rng.random(shape), dtype),
+        "u": jnp.asarray(rng.normal(0.0, 6.0, shape), dtype),
+        "v": jnp.asarray(rng.normal(0.0, 6.0, shape), dtype),
+        "slp": jnp.asarray(98000.0 + 4000.0 * rng.random(shape), dtype),
+        "rsw": jnp.asarray(500.0 * rng.random(shape), dtype),
+        "rlw": jnp.asarray(250.0 + 150.0 * rng.random(shape), dtype),
+        "lon": jnp.asarray(360.0 * rng.random(shape), dtype),
+        "frice": jnp.asarray(rng.random(shape), dtype),
+    }
+
+
+def main_all():
+    """The 5 BASELINE.json workload configs, one JSON line each."""
+    import jax.numpy as jnp
+    from aerobulk_tpu.api import (AeroBulkConfig, flux_step, flux_step_mixed,
+                                  init_skin_state)
+
+    dtype = jnp.float32
+
+    def ocean_cfg_bench(name, algo, shape, use_skin, reps=20):
+        f = _mk_inputs(shape, dtype)
+        cfg = AeroBulkConfig(algo=algo, niter=NITER, use_skin=use_skin)
+        state0 = init_skin_state(cfg, shape, dtype)
+
+        def step(st):
+            kw = dict(rad_sw=f["rsw"], rad_lw=f["rlw"], isecday_utc=43200,
+                      lon=f["lon"]) if use_skin else {}
+            out, ns = flux_step(cfg, f["sst"], f["t"], f["q"], f["u"],
+                                f["v"], f["slp"], skin_state=st, **kw)
+            return ns
+
+        dt_s = _timeit_scan(step, state0, reps)
+        pts = shape[0] * shape[1] / dt_s
+        print(json.dumps({"metric": name, "value": round(pts, 1),
+                          "unit": "points/s",
+                          "vs_baseline": round(pts / BASELINE_CPU_POINTS_S, 2)}))
+
+    # 1: NCAR small-grid buoy series
+    ocean_cfg_bench("ncar_small_grid_points_per_s", "ncar", (32, 128), False,
+                    reps=50)
+    # 2: COARE3.0 bulk-SST, 1-degree global, no radiation
+    ocean_cfg_bench("coare3p0_bulk_1deg_points_per_s", "coare3p0",
+                    (181, 360), False, reps=50)
+    # 3: headline — COARE3.6 + skin, 0.25-degree global
+    ocean_cfg_bench("coare3p6_skin_0p25deg_points_per_s", "coare3p6",
+                    (NY, NX), True)
+    # 4: ECMWF + skin, 0.25-degree global
+    ocean_cfg_bench("ecmwf_skin_0p25deg_points_per_s", "ecmwf", (NY, NX),
+                    True)
+
+    # 5: mixed ocean+ice cells (LG15 ice + ECMWF leads), 0.25-degree
+    f = _mk_inputs((NY, NX), dtype, cold=True)
+    Ts_i = jnp.minimum(f["sst"], 271.0)
+
+    def step_mixed(c):
+        net, _, _ = flux_step_mixed(2.0, 10.0, Ts_i, f["sst"], f["t"],
+                                    f["q"], f["u"], f["v"], f["slp"],
+                                    f["frice"], niter=NITER)
+        return c + net.QL * 0.0
+
+    dt_s = _timeit_scan(step_mixed, jnp.zeros((NY, NX), dtype), 10)
+    pts = NY * NX / dt_s
+    print(json.dumps({"metric": "mixed_ice_ocean_0p25deg_points_per_s",
+                      "value": round(pts, 1), "unit": "points/s",
+                      "vs_baseline": round(pts / BASELINE_CPU_POINTS_S, 2)}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--all" in sys.argv:
+        main_all()
+    else:
+        main()
