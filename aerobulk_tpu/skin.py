@@ -26,6 +26,7 @@ from .thermo import alpha_sw, delta_skin_layer, fsign, step
 
 __all__ = [
     "SkinState", "init_skin_state_coare", "init_skin_state_ecmwf",
+    "save_skin_state", "load_skin_state",
     "cs_coare", "wl_coare", "cs_ecmwf", "wl_ecmwf",
     "HWL_MAX", "RD0_ECMWF",
 ]
@@ -61,6 +62,25 @@ def init_skin_state_ecmwf(shape, dtype=jnp.float64):
     z = jnp.zeros(shape, dtype)
     return SkinState(dT_wl=z, Hz_wl=jnp.full(shape, RD0_ECMWF, dtype),
                      Qnt_ac=z, Tau_ac=z)
+
+
+def save_skin_state(path: str, state: SkinState):
+    """Checkpoint the warm-layer state to disk (.npz).
+
+    The reference has no checkpointing at all — a GCM restart silently
+    loses the warm layer (SURVEY.md §5).  With the explicit pytree this is
+    a one-liner, enabling exact time-series resume."""
+    import numpy as np
+    np.savez(path, **{k: np.asarray(v) for k, v in state._asdict().items()})
+
+
+def load_skin_state(path: str, dtype=None) -> SkinState:
+    """Restore a warm-layer state checkpoint written by save_skin_state."""
+    import numpy as np
+    with np.load(path) as z:
+        arrs = {k: jnp.asarray(z[k], dtype) for k in
+                ("dT_wl", "Hz_wl", "Qnt_ac", "Tau_ac")}
+    return SkinState(**arrs)
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +253,12 @@ def wl_ecmwf(Qsw, Qnsol, ustar, sst, state: SkinState,
     dTwl_n = dTwl_b
     for _ in range(10):
         dTwl_n = 0.5 * (dTwl_n + dTwl_b)             # semi-implicit
-        L1 = jnp.sqrt(dTwl_n * cst2)                 # 1/L when dTwl>0, Qabs<0
+        # 1/L when dTwl>0, Qabs<0.  The where-guard keeps the value
+        # identical (sqrt(0)=0) but blocks the infinite d(sqrt)/dx at 0
+        # from poisoning gradients through the unused branch (0*inf=NaN).
+        pos = dTwl_n * cst2 > 0.0
+        L1 = jnp.where(pos,
+                       jnp.sqrt(jnp.where(pos, dTwl_n * cst2, 1.0)), 0.0)
         zeta = (1.0 - wf) * Hwl * L1 + wf * Hwl * L2
         zB = cst3 / _phi_takaya(zeta)
         dTwl_n = jnp.maximum(dTwl_b + zA + zB * dTwl_n, 0.0)

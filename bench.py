@@ -125,18 +125,21 @@ def main_all():
     dtype = jnp.float32
 
     def ocean_cfg_bench(name, algo, shape, use_skin, reps=20):
+        import jax.numpy as jnp
         f = _mk_inputs(shape, dtype)
         cfg = AeroBulkConfig(algo=algo, niter=NITER, use_skin=use_skin)
         state0 = init_skin_state(cfg, shape, dtype)
 
-        def step(st):
+        def step(carry):
+            st, acc = carry
             kw = dict(rad_sw=f["rsw"], rad_lw=f["rlw"], isecday_utc=43200,
                       lon=f["lon"]) if use_skin else {}
             out, ns = flux_step(cfg, f["sst"], f["t"], f["q"], f["u"],
                                 f["v"], f["slp"], skin_state=st, **kw)
-            return ns
+            # fold the fluxes into the carry so no step is dead code
+            return ns, acc + out.QL + out.QH + out.Tau_x
 
-        dt_s = _timeit_scan(step, state0, reps)
+        dt_s = _timeit_scan(step, (state0, jnp.zeros(shape, dtype)), reps)
         pts = shape[0] * shape[1] / dt_s
         print(json.dumps({"metric": name, "value": round(pts, 1),
                           "unit": "points/s",
@@ -163,7 +166,7 @@ def main_all():
         net, _, _ = flux_step_mixed(2.0, 10.0, Ts_i, f["sst"], f["t"],
                                     f["q"], f["u"], f["v"], f["slp"],
                                     f["frice"], niter=NITER)
-        return c + net.QL * 0.0
+        return c + net.QL + net.Tau
 
     dt_s = _timeit_scan(step_mixed, jnp.zeros((NY, NX), dtype), 10)
     pts = NY * NX / dt_s

@@ -1,0 +1,43 @@
+"""Checkpoint/resume: an interrupted series resumes exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from aerobulk_tpu.api import AeroBulkConfig, run_series
+from aerobulk_tpu.skin import load_skin_state, save_skin_state
+
+
+def test_series_checkpoint_resume(tmp_path):
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+    nt, npts = 10, 3
+    rng = np.random.default_rng(1)
+    forcing = dict(
+        sst=jnp.asarray(299.0 + rng.random((nt, npts))),
+        t_zt=jnp.asarray(298.0 + rng.random((nt, npts))),
+        hum_zt=jnp.full((nt, npts), 0.015),
+        U_zu=jnp.asarray(2.0 + 5.0 * rng.random((nt, npts))),
+        V_zu=jnp.zeros((nt, npts)),
+        slp=jnp.full((nt, npts), 101000.0),
+        rad_sw=jnp.asarray(700.0 * rng.random((nt, npts))),
+        rad_lw=jnp.full((nt, npts), 420.0))
+    isd = jnp.asarray(np.arange(8, 8 + nt) * 3600, jnp.int32)
+
+    # uninterrupted run
+    full, state_full = run_series(cfg, forcing, isecday_utc=isd)
+
+    # run half, checkpoint, restore, run the rest
+    half = {k: v[:5] for k, v in forcing.items()}
+    rest = {k: v[5:] for k, v in forcing.items()}
+    _, state_mid = run_series(cfg, half, isecday_utc=isd[:5])
+    ckpt = str(tmp_path / "skin_state.npz")
+    save_skin_state(ckpt, state_mid)
+    restored = load_skin_state(ckpt)
+    outs2, state_end = run_series(cfg, rest, skin_state=restored,
+                                  isecday_utc=isd[5:])
+
+    np.testing.assert_allclose(np.asarray(outs2.QL),
+                               np.asarray(full.QL)[5:], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(state_end.dT_wl),
+                               np.asarray(state_full.dT_wl), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(state_end.Qnt_ac),
+                               np.asarray(state_full.Qnt_ac), rtol=1e-12)
