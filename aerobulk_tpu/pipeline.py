@@ -35,8 +35,15 @@ def prefetch_to_device(records: Iterable[Dict[str, np.ndarray]],
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     _END = object()
 
+    # a sharding over a single device buys nothing and (on some remote
+    # backends) sends compilation through a much slower SPMD path
+    if sharding is not None and len(sharding.device_set) <= 1:
+        sharding = None
+
     def put(x):
-        if sharding is not None:
+        # only grid-shaped fields get the grid sharding; scalars (e.g.
+        # isecday_utc) are replicated
+        if sharding is not None and np.ndim(x) >= len(sharding.spec):
             return jax.device_put(x, sharding)
         return jax.device_put(x)
 
@@ -90,6 +97,9 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
             isecday_utc=isd, lon=rec.get("lon", lon),
             skin_state=state)
         return out, new_state
+
+    if sharding is not None and len(sharding.device_set) <= 1:
+        sharding = None
 
     state = skin_state
     results = []
