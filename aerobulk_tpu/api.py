@@ -330,7 +330,7 @@ def flux_step_mixed(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
 
 def run_series(cfg: AeroBulkConfig, forcing: dict,
                skin_state: Optional[SkinState] = None,
-               isecday_utc=None, lon=None):
+               isecday_utc=None, lon=None, remat: bool = False):
     """Scan :func:`flux_step` over a time axis.
 
     ``forcing`` maps input names (sst, t_zt, hum_zt, U_zu, V_zu, slp,
@@ -357,9 +357,58 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
             isecday_utc=isd, lon=lon, skin_state=state)
         return state, out
 
+    if remat:
+        # rematerialize each step in the backward pass: O(1) residual
+        # memory for gradients over long series (jax.checkpoint)
+        body = jax.checkpoint(body)
+
     xs = ({n: forcing[n] for n in names + opt}, isecday_utc)
     final_state, outs = jax.lax.scan(body, skin_state, xs)
     return outs, final_state
+
+
+_MODEL_STATE: dict = {}
+
+
+def aerobulk_model(jt, Nt, calgo, zt, zu, sst, t_zt, hum_zt, U_zu, V_zu,
+                   slp, Niter=5, l_use_skin=False, rad_sw=None, rad_lw=None,
+                   isecday_utc=12, lon=None):
+    """Drop-in analogue of the reference's ``AEROBULK_MODEL``
+    (mod_aerobulk.f90:176-268) for migrating users.
+
+    Call with ``jt`` from 1 to ``Nt``; input validation runs at ``jt == 1``
+    (the AEROBULK_INIT semantics) and the warm-layer state is carried
+    between calls in a process-local registry, initialized at ``jt == 1``
+    and dropped after ``jt == Nt`` — exactly the reference's
+    allocate/save/deallocate lifecycle, without the hidden module arrays.
+
+    Returns ``(QL, QH, Tau_x, Tau_y, Evap, T_s)`` as jnp arrays.
+    Prefer :func:`flux_step` / :func:`run_series` in new code (explicit
+    state, jit/scan-friendly).
+    """
+    cfg = AeroBulkConfig(algo=calgo, zt=float(zt), zu=float(zu),
+                         niter=int(Niter), use_skin=bool(l_use_skin),
+                         humidity="auto")
+    if int(jt) == 1:
+        mask, htype = init(cfg, sst, t_zt, hum_zt, U_zu, V_zu, slp,
+                           rad_sw=rad_sw, rad_lw=rad_lw)
+    else:
+        htype = detect_humidity_type(hum_zt)
+    cfg = dataclasses.replace(cfg, humidity=htype)
+
+    key = (calgo, np.shape(np.asarray(sst)))
+    if int(jt) == 1 or key not in _MODEL_STATE:
+        _MODEL_STATE[key] = init_skin_state(cfg, key[1],
+                                            jnp.result_type(jnp.asarray(sst)))
+    out, state = flux_step(cfg, sst, t_zt, hum_zt, U_zu, V_zu, slp,
+                           rad_sw=rad_sw, rad_lw=rad_lw,
+                           isecday_utc=isecday_utc, lon=lon,
+                           skin_state=_MODEL_STATE[key])
+    if int(jt) >= int(Nt):
+        _MODEL_STATE.pop(key, None)
+    else:
+        _MODEL_STATE[key] = state
+    return out.QL, out.QH, out.Tau_x, out.Tau_y, out.Evap, out.T_s
 
 
 def flux(algo, zt, zu, sst, t_zt, hum_zt, U_zu, V_zu, slp,
