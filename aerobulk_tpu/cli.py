@@ -34,11 +34,26 @@ def cmd_toy(args):
 
     shape = (1,)
     sst = jnp.full(shape, args.sst + c.rt0)
-    t_zt = jnp.full(shape, args.t + c.rt0)
-    q_zt = jnp.full(shape, args.q * 1e-3)
     U = jnp.full(shape, args.wind)
     V = jnp.zeros(shape)
     slp = jnp.full(shape, args.slp * 100.0)
+
+    if args.neutral:
+        # -N mode of aerobulk_toy.F90:205-216: find the air temperature at
+        # zt (with the given RH) that makes the virtual potential
+        # temperature profile perfectly neutral
+        ssq = c.rdct_qsat_salt * thermo.q_sat(sst, slp)
+        t_zt = sst
+        for _ in range(10):
+            q_zt = thermo.q_air_rh(jnp.full(shape, args.rh), t_zt, slp)
+            t_zt = (thermo.virt_temp(sst, ssq) / (1.0 + c.rctv0 * q_zt)
+                    - c.rgamma_dry * args.zt)
+        q_zt = thermo.q_air_rh(jnp.full(shape, args.rh), t_zt, slp)
+        print(f" forced neutral: t_zt = {float(t_zt[0]) - c.rt0:.4f} C, "
+              f"q_zt = {float(q_zt[0]) * 1e3:.4f} g/kg (RH={args.rh}%)")
+    else:
+        t_zt = jnp.full(shape, args.t + c.rt0)
+        q_zt = jnp.full(shape, args.q * 1e-3)
 
     theta = thermo.theta_from_z_p0_t_q(args.zt, slp, t_zt, q_zt)
     print(f"\n zu={args.zu} m, zt={args.zt} m, SST={args.sst} C, "
@@ -365,6 +380,10 @@ def main(argv=None):
     t.add_argument("--wind", type=float, default=5.0, help="wind [m/s]")
     t.add_argument("--slp", type=float, default=1010.0, help="slp [hPa]")
     t.add_argument("--niter", type=int, default=20)
+    t.add_argument("--neutral", action="store_true",
+                   help="force neutral-stability air temp (the -N mode)")
+    t.add_argument("--rh", type=float, default=80.0,
+                   help="relative humidity for --neutral [%%]")
     t.set_defaults(fn=cmd_toy)
 
     it = sub.add_parser("ice-toy", help="single-point ice-algo comparison")
