@@ -23,7 +23,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .. import constants as c
-from ..closures import charn_coare3p0, charn_coare3p6, first_guess_coare
+from ..closures import (charn_coare3p0, charn_coare3p6, charn_coare3p6_wave,
+                        first_guess_coare)
 from ..skin import SkinState, cs_coare, init_skin_state_coare, wl_coare
 from ..stability import psi_h_coare, psi_m_coare
 from ..thermo import (clip_mag, nonzero_delta, one_on_l, q_sat,
@@ -53,7 +54,7 @@ _VERSIONS = {
 def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
                use_cs=False, use_wl=False, Qsw=None, rad_lw=None, slp=None,
                isecday_utc=None, lon=None, skin_state=None,
-               rdt=3600.0, gdept=1.0):
+               rdt=3600.0, gdept=1.0, wave_hs=None, wave_cp=None):
     """Run one COARE bulk-transfer solve.
 
     Args:
@@ -74,6 +75,11 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
       skin_state: carry-over SkinState (defaults to a fresh init).
       rdt:    warm-layer accumulation timestep [s].
       gdept:  depth of the bulk SST measurement [m].
+      wave_hs, wave_cp: significant wave height [m] and dominant phase
+        speed [m/s].  When both are given, the wind-speed Charnock is
+        replaced by the wave-state closure (COARE 3.5, Edson et al. 2013
+        Eq. 16 — present but unwired in the reference,
+        mod_blk_coare3p6.f90:447-462).
 
     Returns:
       (FluxResult, SkinState)
@@ -133,7 +139,11 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
 
         # roughness lengths (z0 from previous-iteration log_z0 via UN10)
         Un10 = us / c.vkarmn * (log_10 - log_z0)
-        z0 = ver.charn(Un10) * us2 / c.grav + 0.11 * nu_a / us
+        if wave_hs is not None and wave_cp is not None:
+            charn = charn_coare3p6_wave(us, wave_hs, wave_cp)
+        else:
+            charn = ver.charn(Un10)
+        z0 = charn * us2 / c.grav + 0.11 * nu_a / us
         z0 = jnp.minimum(jnp.maximum(jnp.abs(z0), 1.0e-9), 1.0)
         log_z0 = jnp.log(z0)
 
@@ -165,10 +175,15 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
             q_s = c.rdct_qsat_salt * q_sat(jnp.maximum(T_s, 200.0), slp)
 
         if use_wl:
-            Qns, Tau, _ = update_qnsol_tau(
-                zu, T_s, q_s, t_zu, q_zu, us, ts, qs, U_zu, Ub, slp, rad_lw)
-            # reference commit flag: iwait = MOD(nb_iter, jit) == 0
+            # reference commit flag: iwait = MOD(nb_iter, jit) == 0.
+            # On non-commit iterations WL_COARE has no observable effect
+            # (state untouched, outputs discarded), so the whole block —
+            # including the Qns/Tau evaluation that only feeds it — is
+            # skipped, exactly preserving semantics.
             if niter % jit == 0:
+                Qns, Tau, _ = update_qnsol_tau(
+                    zu, T_s, q_s, t_zu, q_zu, us, ts, qs, U_zu, Ub, slp,
+                    rad_lw)
                 state = wl_coare(Qsw, Qns, Tau, xSST, lon, isecday_utc,
                                  state, rdt=rdt, gdept=gdept)
             T_s = xSST + state.dT_wl

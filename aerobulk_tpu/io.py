@@ -88,8 +88,13 @@ def write_series(path: str, time: np.ndarray, variables: Dict[str, np.ndarray],
                  units: Optional[Dict[str, str]] = None,
                  time_units: str = "seconds since 1970-01-01 00:00:00"):
     """Write a multi-variable time series (the ``PT_SERIES`` analogue,
-    io_ezcdf.f90:1033).  Classic NetCDF3 via scipy for portability; falls
-    back to .npz when the extension asks for it."""
+    io_ezcdf.f90:1033) or gridded (nt, ny, nx) fields (the P2D_T dumper
+    analogue).  Classic NetCDF3 via scipy for portability; .npz when the
+    extension asks for it.
+
+    A (nt,) variable becomes a point series; (nt, n) keeps its station
+    axis; (nt, ny, nx) becomes a 2-D field series.
+    """
     units = units or {}
     if path.endswith(".npz"):
         np.savez(path, time=time, **variables)
@@ -100,10 +105,30 @@ def write_series(path: str, time: np.ndarray, variables: Dict[str, np.ndarray],
         tv = f.createVariable("time", "d", ("time",))
         tv[:] = np.asarray(time, np.float64)
         tv.units = time_units.encode()
+        made_dims = {"time": len(time)}
+
+        def dim_for(size, stem):
+            for dname, dsize in made_dims.items():
+                if dsize == size and dname != "time":
+                    return dname
+            dname = f"{stem}{len(made_dims)}"
+            f.createDimension(dname, size)
+            made_dims[dname] = size
+            return dname
+
         for name, arr in variables.items():
             arr = np.asarray(arr, np.float64)
-            v = f.createVariable(name, "d", ("time",))
-            v[:] = arr.reshape(len(time), -1)[:, 0] if arr.ndim > 1 else arr
+            if arr.ndim == 1:
+                dims = ("time",)
+            elif arr.ndim == 2:
+                dims = ("time", dim_for(arr.shape[1], "x"))
+            elif arr.ndim == 3:
+                dims = ("time", dim_for(arr.shape[1], "y"),
+                        dim_for(arr.shape[2], "x"))
+            else:
+                raise ValueError(f"write_series: {name} has ndim {arr.ndim}")
+            v = f.createVariable(name, "d", dims)
+            v[:] = arr
             if name in units:
                 v.units = units[name].encode()
 
