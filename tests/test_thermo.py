@@ -137,3 +137,63 @@ def test_bulk_formula_ice_branch():
 def test_gamma_moist_range():
     g = thermo.gamma_moist(jnp.array([290.0]), jnp.array([0.01]))
     assert 0.003 < float(g[0]) < 0.007   # moist rate < dry rate 9.8 K/km
+
+
+def test_rho_air_adv_close_to_simple():
+    Ta = jnp.array([288.0, 300.0])
+    qa = jnp.array([0.008, 0.018])
+    slp = jnp.array([101000.0, 100000.0])
+    simple = thermo.rho_air(Ta, qa, slp)
+    adv = thermo.rho_air_adv(Ta, qa, slp)
+    np.testing.assert_allclose(adv, simple, rtol=2e-3)
+
+
+def test_q_sat_crude_vs_exact():
+    ts = jnp.array([285.0, 295.0, 305.0])
+    slp = jnp.full((3,), 101000.0)
+    rho = thermo.rho_air(ts, jnp.zeros(3), slp)
+    crude = thermo.q_sat_crude(ts, rho)
+    exact = thermo.q_sat(ts, slp)
+    np.testing.assert_allclose(crude, exact, rtol=0.06)  # a crude formula
+
+
+def test_dry_static_energy():
+    s = thermo.dry_static_energy(10.0, jnp.array([290.0]),
+                                 jnp.array([0.01]))
+    expected = 9.8 * 10.0 + (1005.0 + 1860.0 * 0.01) * 290.0
+    np.testing.assert_allclose(float(s[0]), expected, rtol=1e-12)
+
+
+def test_update_qnsol_tau_consistency():
+    """Qns == Qlat + Qsen + Qlw_net with the coefficients implied by the
+    turbulent scales."""
+    zu = 10.0
+    ts = jnp.array([295.0]); qs = jnp.array([0.017])
+    th = jnp.array([293.0]); qa = jnp.array([0.012])
+    us = jnp.array([0.2]); tst = jnp.array([-0.05]); qst = jnp.array([-3e-4])
+    wnd = jnp.array([5.0]); ub = jnp.array([5.1])
+    slp = jnp.array([101000.0]); rlw = jnp.array([370.0])
+    qns, tau, qlat = thermo.update_qnsol_tau(zu, ts, qs, th, qa, us, tst,
+                                             qst, wnd, ub, slp, rlw)
+    z = us / ub
+    t2, qh2, ql2, _, _ = thermo.bulk_formula(
+        zu, ts, qs, th, qa, z * z, z * tst / (th - ts), z * qst / (qa - qs),
+        wnd, ub, slp)
+    qlw = thermo.qlw_net(rlw, ts)
+    np.testing.assert_allclose(float(qns[0]),
+                               float(ql2[0] + qh2[0] + qlw[0]), rtol=1e-12)
+    np.testing.assert_allclose(float(tau[0]), float(t2[0]), rtol=1e-12)
+    np.testing.assert_allclose(float(qlat[0]), float(ql2[0]), rtol=1e-12)
+
+
+def test_profiler_report():
+    import time as _time
+    from aerobulk_tpu.profiling import Profiler
+    prof = Profiler()
+    with prof.stage("a"):
+        _time.sleep(0.01)
+    with prof.stage("a"):
+        _time.sleep(0.01)
+    rep = prof.report()
+    assert "a" in rep and prof.counts["a"] == 2
+    assert prof.totals["a"] >= 0.02
