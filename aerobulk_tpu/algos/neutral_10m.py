@@ -12,8 +12,6 @@ roughness — the algorithm's natural neutral limit.
 
 from __future__ import annotations
 
-import math
-
 import jax.numpy as jnp
 
 from .. import constants as c

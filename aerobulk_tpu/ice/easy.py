@@ -12,8 +12,7 @@ import jax.numpy as jnp
 
 from .. import constants as c
 from ..stability import psi_h_ice, psi_m_ice
-from ..thermo import clip_mag, nonzero_delta, one_on_l, un10_from_cd, \
-    z0_from_cd
+from ..thermo import clip_mag, one_on_l, un10_from_cd, z0_from_cd
 from ..algos.base import FluxResult
 
 

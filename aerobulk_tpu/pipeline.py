@@ -78,8 +78,6 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
 
     Returns ``(list of collected outputs, final SkinState)``.
     """
-    import jax.numpy as jnp
-
     from .api import flux_step, init_skin_state
 
     if collect is None:

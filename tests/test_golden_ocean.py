@@ -12,7 +12,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from aerobulk_tpu import thermo
 from aerobulk_tpu.algos import OCEAN_ALGOS
 from aerobulk_tpu.api import AeroBulkConfig, flux_step
 

@@ -7,8 +7,6 @@ the reference comments, and closure spot values computed from the closed
 forms.
 """
 
-import math
-
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -7,7 +7,6 @@ theta/pressure round trips.
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from aerobulk_tpu import constants as c
 from aerobulk_tpu import thermo
