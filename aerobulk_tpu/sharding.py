@@ -17,8 +17,26 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_grid_mesh", "grid_sharding", "shard_grid_inputs",
-           "replicated"]
+__all__ = ["init_distributed", "make_grid_mesh", "grid_sharding",
+           "shard_grid_inputs", "replicated"]
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize multi-host JAX (thin ``jax.distributed`` wrapper).
+
+    Call once per host before building the mesh; afterwards
+    ``jax.devices()`` spans the whole pod slice and
+    :func:`make_grid_mesh` + :func:`grid_sharding` work unchanged — the
+    flux computation needs no further multi-host awareness (it compiles
+    collective-free, docs/SCALING.md).  No-ops on single-process setups
+    with auto-detectable environments (GKE/Cloud TPU set the env vars).
+    """
+    kw = {}
+    if coordinator_address is not None:
+        kw.update(coordinator_address=coordinator_address,
+                  num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kw)
 
 
 def make_grid_mesh(devices=None, shape: Optional[tuple] = None,

@@ -111,6 +111,24 @@ def test_cli_sweeps_and_plots(tmp_path):
     assert os.path.getsize(out2) > 10000
 
 
+def test_cli_cx_vs_wind(tmp_path):
+    from aerobulk_tpu.cli import main
+    out = str(tmp_path / "cx.json")
+    main(["cx-vs-wind", "--algos", "ncar", "--dtheta=-2,2", "--out", out])
+    with open(out) as fh:
+        data = json.load(fh)
+    w = np.asarray(data["wind"])
+    cd_unst = np.asarray(data["curves"]["ncar_dT-2.0"]["Cd"])
+    cd_stab = np.asarray(data["curves"]["ncar_dT+2.0"]["Cd"])
+    assert np.all(np.isfinite(cd_unst)) and np.all(np.isfinite(cd_stab))
+    # unstable Cd > stable Cd at moderate winds
+    i = np.searchsorted(w, 7.0)
+    assert cd_unst[i] > cd_stab[i]
+    # Cd increases with wind above ~10 m/s
+    i10, i25 = np.searchsorted(w, [10.0, 25.0])
+    assert cd_unst[i25] > cd_unst[i10]
+
+
 def test_cli_series_roundtrip(tmp_path):
     from aerobulk_tpu.cli import main
     from aerobulk_tpu import io as abio
