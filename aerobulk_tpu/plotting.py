@@ -17,7 +17,7 @@ import json
 import numpy as np
 
 __all__ = ["plot_cx_wind", "plot_coef_n10", "plot_psi_profiles",
-           "plot_station_series"]
+           "plot_station_series", "plot_ice_cdn"]
 
 
 def _plt():
@@ -80,6 +80,27 @@ def plot_psi_profiles(json_path: str, out_png: str = "psi_profiles.png"):
         ax.set_ylim(-20, 6)
         ax.grid(alpha=0.3)
     axm.legend(fontsize=8)
+    fig.savefig(out_png, bbox_inches="tight")
+    plt.close(fig)
+    return out_png
+
+
+def plot_ice_cdn(json_path: str, out_png: str = "ice_cdn.png"):
+    """Form-drag CdN_f variants vs ice concentration
+    (plot_ice_cdn_comp.py analogue; consumes `cli cdnf` output)."""
+    plt = _plt()
+    with open(json_path) as fh:
+        data = json.load(fh)
+    A = np.asarray(data["frice"])
+    fig, ax = plt.subplots(figsize=(9, 6), dpi=100)
+    for k, v in sorted(data.items()):
+        if k == "frice":
+            continue
+        ax.plot(A, 1e3 * np.asarray(v), lw=1.4, label=k)
+    ax.set_xlabel("ice concentration A")
+    ax.set_ylabel("CdN_f [10^-3]")
+    ax.grid(alpha=0.3)
+    ax.legend(fontsize=8)
     fig.savefig(out_png, bbox_inches="tight")
     plt.close(fig)
     return out_png
