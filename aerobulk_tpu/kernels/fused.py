@@ -101,7 +101,7 @@ def _fused(cfg: AeroBulkConfig, block, isecday_utc, interpret, args, state):
 def fused_flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
                     rad_sw, rad_lw, lon=None, isecday_utc=43200,
                     skin_state: Optional[SkinState] = None,
-                    block=(128, 256), interpret=False):
+                    block=(16, 512), interpret=False):
     """Run one flux step as a single fused Pallas kernel over 2-D tiles.
 
     Inputs must be 2-D (y, x).  Shapes are padded up to the block size
@@ -109,17 +109,19 @@ def fused_flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
     than ragged tiling).  Returns ``((QL, QH, Tau_x, Tau_y, Evap, T_s),
     SkinState)``.
 
-    Measured reality check (v5e, 0.25-degree grid, fp32, niter=5): this
-    single-pass kernel sustains ~100 Mpts/s vs ~140 Mpts/s for the plain
-    jit path — XLA's own elementwise fusion is already at the VPU
-    transcendental-throughput roofline for this workload, so the jit path
-    remains the default; the kernel is kept as the explicitly-tiled
-    alternative (and the building block for future multi-step fusion,
-    where scanning inside the kernel saves the per-step HBM round trip).
+    Measured reality (v5e, 0.25-degree grid, fp32, niter=5, COARE3.6+skin,
+    scan-amortized over 20 records): this single-pass kernel sustains
+    ~300 Mpts/s at block (16, 512) vs ~190 Mpts/s for the plain jit path —
+    one HBM read of the inputs and one write of the outputs per step,
+    where XLA's fusion clusters round-trip intermediates.  Small blocks
+    win: (16, 512) > (8, 512) > (128, 256); big tiles choke the Mosaic
+    scheduler on this very deep elementwise graph.  This kernel is the
+    default TPU speed path used by ``bench.py``; the jit path remains the
+    semantics reference and the fp64 validation path.
 
     Numerics: identical math, but fp32 rounding differs from the XLA path
-    (op ordering + the Pallas-safe arctan), so individual points near
-    branch thresholds can diverge; median relative difference is ~4e-5.
+    (op ordering + the Pallas-safe arctan/cbrt), so individual points near
+    branch thresholds can diverge; median relative difference is ~5e-5.
     ``interpret=True`` runs the kernel through the Pallas interpreter on
     CPU (used by the parity tests).
     """

@@ -54,11 +54,28 @@ _ATAN_COEF = (
 )
 
 
+# Shorter fit for the float32 kernel path: max abs error 1.2e-8 over [0, 1]
+# (below fp32 resolution of atan), 4 fewer links in the Horner chain
+_ATAN_COEF_F32 = (
+    0.9999999842426354,
+    -0.3333306678069165,
+    0.199924835785032,
+    -0.1420257051170999,
+    0.1063675409814756,
+    -0.07495445443355744,
+    0.042587607465590586,
+    -0.016005030503601383,
+    0.0028340642990060676,
+)
+
+
 def _atan_poly01(x):
     """atan(x) for x in [0, 1] via odd polynomial (Horner in x^2)."""
+    coefs = (_ATAN_COEF_F32 if jnp.result_type(x) == jnp.float32
+             else _ATAN_COEF)
     t = x * x
-    acc = jnp.zeros_like(x) + _ATAN_COEF[-1]
-    for c in _ATAN_COEF[-2::-1]:
+    acc = jnp.zeros_like(x) + coefs[-1]
+    for c in coefs[-2::-1]:
         acc = acc * t + c
     return x * acc
 
@@ -74,3 +91,14 @@ def arctan(x):
     core = _atan_poly01(arg)
     res = jnp.where(big, 0.5 * math.pi - core, core)
     return jnp.copysign(res, x)
+
+
+def inv_cbrt_1p(s):
+    """``(1 + s)**(-1/3)`` for ``s >= 0`` with a Pallas-safe fallback.
+
+    Mosaic has no ``cbrt`` lowering; inside a kernel body this becomes
+    ``exp(-log1p(s)/3)`` (1 + s >= 1, so the log is always defined).
+    """
+    if not _PALLAS_SAFE:
+        return 1.0 / jnp.cbrt(1.0 + s)
+    return jnp.exp(-jnp.log1p(s) / 3.0)

@@ -28,6 +28,18 @@ NITER = 5                   # reference default nb_iter
 REPS = 20
 
 
+def _use_fused():
+    """The fused Pallas kernel is the speed path on real TPU hardware;
+    the jit path is the fallback (CPU, ``--jit`` flag)."""
+    import jax
+    if "--jit" in sys.argv:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -52,15 +64,28 @@ def main():
 
     args = (sst, t, q, u, v, slp, rsw, rlw, lon)
 
+    fused = _use_fused()
+    if fused:
+        from aerobulk_tpu.kernels.fused import fused_flux_step
+
+        def one_step(a, carry):
+            outs, new_state = fused_flux_step(
+                cfg, *a[:6], a[6], a[7], lon=a[8], isecday_utc=43200,
+                skin_state=carry)
+            return new_state, (outs[0], outs[1], outs[2], outs[3])
+    else:
+        def one_step(a, carry):
+            out, new_state = flux_step(cfg, *a[:6], rad_sw=a[6], rad_lw=a[7],
+                                       isecday_utc=43200, lon=a[8],
+                                       skin_state=carry)
+            return new_state, (out.QL, out.QH, out.Tau_x, out.Tau_y)
+
     @jax.jit
     def steps(a, st):
         # REPS time records inside one dispatch (the production shape:
         # lax.scan over the time axis with the skin state as carry)
         def body(carry, _):
-            out, new_state = flux_step(cfg, *a[:6], rad_sw=a[6], rad_lw=a[7],
-                                       isecday_utc=43200, lon=a[8],
-                                       skin_state=carry)
-            return new_state, (out.QL, out.QH, out.Tau_x, out.Tau_y)
+            return one_step(a, carry)
         st, outs = jax.lax.scan(body, st, None, length=REPS)
         return st, jax.tree_util.tree_map(lambda x: x[-1], outs)
 
@@ -124,11 +149,32 @@ def main_all():
 
     dtype = jnp.float32
 
+    fused = _use_fused()
+
     def ocean_cfg_bench(name, algo, shape, use_skin, reps=20):
         import jax.numpy as jnp
         f = _mk_inputs(shape, dtype)
         cfg = AeroBulkConfig(algo=algo, niter=NITER, use_skin=use_skin)
         state0 = init_skin_state(cfg, shape, dtype)
+
+        if use_skin and fused:
+            from aerobulk_tpu.kernels.fused import fused_flux_step
+
+            def step(carry):
+                st, acc = carry
+                outs, ns = fused_flux_step(
+                    cfg, f["sst"], f["t"], f["q"], f["u"], f["v"], f["slp"],
+                    f["rsw"], f["rlw"], lon=f["lon"], isecday_utc=43200,
+                    skin_state=st)
+                return ns, acc + outs[0] + outs[1] + outs[2]
+
+            dt_s = _timeit_scan(step, (state0, jnp.zeros(shape, dtype)), reps)
+            pts = shape[0] * shape[1] / dt_s
+            print(json.dumps({"metric": name, "value": round(pts, 1),
+                              "unit": "points/s",
+                              "vs_baseline": round(
+                                  pts / BASELINE_CPU_POINTS_S, 2)}))
+            return
 
         def step(carry):
             st, acc = carry
