@@ -330,7 +330,8 @@ def flux_step_mixed(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
 
 def run_series(cfg: AeroBulkConfig, forcing: dict,
                skin_state: Optional[SkinState] = None,
-               isecday_utc=None, lon=None, remat: bool = False):
+               isecday_utc=None, lon=None, remat: bool = False,
+               backend: str = "jit"):
     """Scan :func:`flux_step` over a time axis.
 
     ``forcing`` maps input names (sst, t_zt, hum_zt, U_zu, V_zu, slp,
@@ -339,6 +340,17 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
     state threads through the scan exactly as the reference's time loop
     carries its module arrays.  Returns ``(FluxOutput stacked over nt,
     final SkinState)``.
+
+    ``backend`` selects the per-step implementation:
+      * ``"jit"``  (default) — the plain XLA path; the semantics
+        reference, differentiable, works on every platform.
+      * ``"fused"`` — the single-pass Pallas TPU kernel
+        (:func:`aerobulk_tpu.kernels.fused.fused_flux_step`), ~1.5x
+        faster per chip on real TPU hardware for the skin-enabled
+        0.25-degree workload; requires 2-D (y, x) grids, a skin-capable
+        config with ``use_skin=True``, and rad_sw/rad_lw in the forcing.
+        Returns the reduced output set (QL, QH, Tau_x, Tau_y, Evap, T_s;
+        ``Tau`` and ``rho_a``/``diag`` are None).
     """
     names = ["sst", "t_zt", "hum_zt", "U_zu", "V_zu", "slp"]
     opt = [n for n in ("rad_sw", "rad_lw") if n in forcing]
@@ -349,13 +361,32 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
     if isecday_utc is None:
         isecday_utc = jnp.full((nt,), 12, jnp.int32)
 
-    def body(state, xs):
-        args, isd = xs
-        out, state = flux_step(
-            cfg, *(args[n] for n in names),
-            **{n: args[n] for n in opt},
-            isecday_utc=isd, lon=lon, skin_state=state)
-        return state, out
+    if backend == "fused":
+        from .kernels.fused import fused_flux_step
+        if not cfg.use_skin or "rad_sw" not in forcing \
+                or "rad_lw" not in forcing:
+            raise ValueError("run_series(backend='fused') needs a skin "
+                             "config and rad_sw/rad_lw forcing")
+
+        def body(state, xs):
+            args, isd = xs
+            (QL, QH, Tau_x, Tau_y, Evap, T_s), state = fused_flux_step(
+                cfg, *(args[n] for n in names), args["rad_sw"],
+                args["rad_lw"], lon=lon, isecday_utc=isd,
+                skin_state=state)
+            return state, FluxOutput(QL=QL, QH=QH, Tau=None, Tau_x=Tau_x,
+                                     Tau_y=Tau_y, Evap=Evap, T_s=T_s,
+                                     rho_a=None, diag=None)
+    elif backend == "jit":
+        def body(state, xs):
+            args, isd = xs
+            out, state = flux_step(
+                cfg, *(args[n] for n in names),
+                **{n: args[n] for n in opt},
+                isecday_utc=isd, lon=lon, skin_state=state)
+            return state, out
+    else:
+        raise ValueError(f"run_series: unknown backend {backend!r}")
 
     if remat:
         # rematerialize each step in the backward pass: O(1) residual

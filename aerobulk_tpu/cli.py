@@ -184,22 +184,34 @@ def cmd_series(args):
 
     cfg = AeroBulkConfig(algo=args.algo, zt=args.zt, zu=args.zu,
                          niter=args.niter, use_skin=use_skin)
-    outs, _ = run_series(cfg, forcing, isecday_utc=isd)
+    backend = getattr(args, "backend", "jit")
+    if backend == "fused":
+        # the fused kernel wants 2-D (y, x) grids; station series are (nt, 1)
+        forcing = {k: v.reshape(nt, 1, -1) for k, v in forcing.items()}
+    outs, _ = run_series(cfg, forcing, isecday_utc=isd, backend=backend)
 
     def first_col(x):
         return np.asarray(x).reshape(nt, -1)[:, 0]
 
     variables = {
         "Qlat": first_col(outs.QL), "Qsen": first_col(outs.QH),
-        "Tau": first_col(outs.Tau), "Evap": first_col(outs.Evap),
-        "T_s": first_col(outs.T_s), "Cd": first_col(outs.diag.Cd),
-        "Ch": first_col(outs.diag.Ch), "Ce": first_col(outs.diag.Ce),
-        "u_star": first_col(outs.diag.u_star),
-        "dT_cs": first_col(outs.diag.dT_cs),
-        "dT_wl": first_col(outs.diag.dT_wl),
-        "Hz_wl": first_col(outs.diag.Hz_wl),
-        "rho_a": first_col(outs.rho_a),
+        "Evap": first_col(outs.Evap), "T_s": first_col(outs.T_s),
     }
+    if outs.Tau is not None:
+        variables["Tau"] = first_col(outs.Tau)
+        variables["rho_a"] = first_col(outs.rho_a)
+    else:   # fused backend: reduced output set
+        variables["Tau"] = first_col(
+            np.hypot(np.asarray(outs.Tau_x), np.asarray(outs.Tau_y)))
+    if outs.diag is not None:
+        variables.update({
+            "Cd": first_col(outs.diag.Cd), "Ch": first_col(outs.diag.Ch),
+            "Ce": first_col(outs.diag.Ce),
+            "u_star": first_col(outs.diag.u_star),
+            "dT_cs": first_col(outs.diag.dT_cs),
+            "dT_wl": first_col(outs.diag.dT_wl),
+            "Hz_wl": first_col(outs.diag.Hz_wl),
+        })
     abio.write_series(args.out, time, variables)
     print(f"wrote {len(variables)} series of {nt} records to {args.out}")
 
@@ -404,6 +416,9 @@ def main(argv=None):
     s.add_argument("--zu", type=float, default=10.0)
     s.add_argument("--niter", type=int, default=20)
     s.add_argument("--skin", action="store_true")
+    s.add_argument("--backend", default="jit", choices=("jit", "fused"),
+                   help="per-step implementation: plain XLA (default) or "
+                        "the fused Pallas TPU kernel (needs --skin)")
     s.add_argument("--out", default="aerobulk_series.nc")
     s.set_defaults(fn=cmd_series)
 

@@ -42,8 +42,8 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _kernel(cfg: AeroBulkConfig, isecday_utc,
-            sst, t, q, u, v, slp, rsw, rlw, lon,
+def _kernel(cfg: AeroBulkConfig,
+            sst, t, q, u, v, slp, rsw, rlw, lon, isd,
             dT_wl, Hz_wl, Qnt_ac, Tau_ac,
             QL, QH, Tau_x, Tau_y, Evap, T_s,
             o_dT_wl, o_Hz_wl, o_Qnt_ac, o_Tau_ac):
@@ -53,7 +53,7 @@ def _kernel(cfg: AeroBulkConfig, isecday_utc,
     with pallas_safe_math():   # Mosaic lacks some transcendental lowerings
         out, new_state = flux_step(
             cfg, sst[...], t[...], q[...], u[...], v[...], slp[...],
-            rad_sw=rsw[...], rad_lw=rlw[...], isecday_utc=isecday_utc,
+            rad_sw=rsw[...], rad_lw=rlw[...], isecday_utc=isd[...],
             lon=lon[...], skin_state=state)
     QL[...] = out.QL
     QH[...] = out.QH
@@ -67,8 +67,8 @@ def _kernel(cfg: AeroBulkConfig, isecday_utc,
     o_Tau_ac[...] = new_state.Tau_ac
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _fused(cfg: AeroBulkConfig, block, isecday_utc, interpret, args, state):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _fused(cfg: AeroBulkConfig, block, interpret, args, state):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -81,7 +81,7 @@ def _fused(cfg: AeroBulkConfig, block, isecday_utc, interpret, args, state):
     n_in = len(args) + 4
     n_out = 10
     outs = pl.pallas_call(
-        functools.partial(_kernel, cfg, isecday_utc),
+        functools.partial(_kernel, cfg),
         grid=grid,
         in_specs=[spec] * n_in,
         out_specs=[spec] * n_out,
@@ -101,7 +101,7 @@ def _fused(cfg: AeroBulkConfig, block, isecday_utc, interpret, args, state):
 def fused_flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
                     rad_sw, rad_lw, lon=None, isecday_utc=43200,
                     skin_state: Optional[SkinState] = None,
-                    block=(16, 512), interpret=False):
+                    block=(16, 512), interpret=None):
     """Run one flux step as a single fused Pallas kernel over 2-D tiles.
 
     Inputs must be 2-D (y, x).  Shapes are padded up to the block size
@@ -122,10 +122,15 @@ def fused_flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
     Numerics: identical math, but fp32 rounding differs from the XLA path
     (op ordering + the Pallas-safe arctan/cbrt), so individual points near
     branch thresholds can diverge; median relative difference is ~5e-5.
-    ``interpret=True`` runs the kernel through the Pallas interpreter on
-    CPU (used by the parity tests).
+    ``interpret=True`` runs the kernel through the Pallas interpreter
+    (exact jnp semantics, slow); the default ``interpret=None``
+    auto-selects interpreter mode on CPU backends so
+    ``run_series(backend="fused")`` is portable.
     """
     from ..api import init_skin_state
+
+    if interpret is None:
+        interpret = not pallas_available()
 
     ny, nx = sst.shape
     by = min(block[0], _round_up(ny, 8))
@@ -137,14 +142,20 @@ def fused_flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
     if skin_state is None:
         skin_state = init_skin_state(cfg, (ny, nx), sst.dtype)
 
+    # isecday_utc may be a Python int or a traced scalar (run_series scans
+    # over a per-record array); broadcast it to a grid field so it tiles
+    # like every other input.
+    isd = jnp.broadcast_to(
+        jnp.asarray(isecday_utc, sst.dtype), (ny, nx))
+
     def pad(x):
         return jnp.pad(x, ((0, py - ny), (0, px - nx)), mode="edge")
 
     args = tuple(pad(x) for x in (sst, t_zt, hum_zt, U_zu, V_zu, slp,
-                                  rad_sw, rad_lw, lon))
+                                  rad_sw, rad_lw, lon, isd))
     state = SkinState(*(pad(x) for x in skin_state))
 
-    outs, new_state = _fused(cfg, (by, bx), int(isecday_utc), bool(interpret),
+    outs, new_state = _fused(cfg, (by, bx), bool(interpret),
                              args, state)
 
     def unpad(x):

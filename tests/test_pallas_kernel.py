@@ -70,3 +70,48 @@ def test_fused_kernel_padding():
                                 block=(8, 128), interpret=True)
     assert p_outs[0].shape == shape
     assert np.all(np.isfinite(np.asarray(p_outs[0])))
+
+
+def test_run_series_fused_backend_matches_jit():
+    """run_series(backend='fused') == backend='jit' through a 3-record scan
+    (interpret mode on CPU; the warm-layer state must thread identically)."""
+    from aerobulk_tpu.api import run_series
+
+    cfg = AeroBulkConfig(algo="coare3p6", niter=3, use_skin=True)
+    nt, shape = 3, (8, 128)
+    rng = np.random.default_rng(23)
+    mk = lambda a: jnp.asarray(a)
+    forcing = {
+        "sst": mk(285.0 + 15.0 * rng.random((nt,) + shape)),
+        "t_zt": mk(284.0 + 16.0 * rng.random((nt,) + shape)),
+        "hum_zt": mk(0.004 + 0.012 * rng.random((nt,) + shape)),
+        "U_zu": mk(rng.normal(0, 6, (nt,) + shape)),
+        "V_zu": mk(rng.normal(0, 6, (nt,) + shape)),
+        "slp": mk(98000 + 4000 * rng.random((nt,) + shape)),
+        "rad_sw": mk(500 * rng.random((nt,) + shape)),
+        "rad_lw": mk(250 + 150 * rng.random((nt,) + shape)),
+    }
+    lon = mk(360.0 * rng.random(shape))
+    isd = jnp.asarray([3600, 43200, 82800], jnp.int32)
+
+    out_j, st_j = run_series(cfg, forcing, isecday_utc=isd, lon=lon)
+    out_f, st_f = run_series(cfg, forcing, isecday_utc=isd, lon=lon,
+                             backend="fused")
+
+    for name in ("QL", "QH", "Tau_x", "Tau_y", "Evap", "T_s"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_f, name)), np.asarray(getattr(out_j, name)),
+            rtol=5e-7, atol=1e-9, err_msg=name)
+    np.testing.assert_allclose(np.asarray(st_f.dT_wl), np.asarray(st_j.dT_wl),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_run_series_fused_backend_rejects_noskin():
+    from aerobulk_tpu.api import run_series
+    import pytest
+
+    cfg = AeroBulkConfig(algo="coare3p6", niter=2, use_skin=False)
+    z = jnp.zeros((1, 4, 128))
+    forcing = {k: z for k in ("sst", "t_zt", "hum_zt", "U_zu", "V_zu", "slp")}
+    with pytest.raises(ValueError, match="fused"):
+        run_series(cfg, forcing, backend="fused")
