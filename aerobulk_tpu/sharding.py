@@ -18,7 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["init_distributed", "make_grid_mesh", "grid_sharding",
-           "shard_grid_inputs", "replicated"]
+           "shard_grid_inputs", "replicated", "sharded_fused_flux_step"]
 
 
 def init_distributed(coordinator_address=None, num_processes=None,
@@ -78,3 +78,52 @@ def shard_grid_inputs(mesh: Mesh, tree):
         x = jax.numpy.asarray(x)
         return jax.device_put(x, grid_sharding(mesh, x.ndim))
     return jax.tree_util.tree_map(put, tree)
+
+
+def sharded_fused_flux_step(mesh: Mesh, cfg, sst, t_zt, hum_zt, U_zu, V_zu,
+                            slp, rad_sw, rad_lw, lon=None, isecday_utc=43200,
+                            skin_state=None, block=(16, 512),
+                            interpret=None):
+    """Run the fused Pallas kernel per-device over a grid mesh.
+
+    ``shard_map`` hands each device its local (y, x) shard; the kernel is
+    launched independently on every device (the computation is pointwise,
+    so this is still collective-free — SURVEY.md §2.4).  Same contract as
+    :func:`aerobulk_tpu.kernels.fused.fused_flux_step`; grid dims must
+    divide evenly by the mesh shape.
+    """
+    from functools import partial
+
+    from jax import shard_map
+
+    from .api import init_skin_state
+    from .kernels.fused import fused_flux_step
+
+    if lon is None:
+        lon = jax.numpy.zeros_like(sst)
+    if skin_state is None:
+        skin_state = init_skin_state(cfg, sst.shape, sst.dtype)
+    isd = jax.numpy.broadcast_to(
+        jax.numpy.asarray(isecday_utc, sst.dtype), sst.shape)
+
+    spec = P("gy", "gx")
+
+    # check_vma=False: pallas_call inside shard_map cannot declare output
+    # varying-across-mesh info; the kernel is pointwise so nothing is
+    # replicated anyway.
+    @partial(shard_map, mesh=mesh, in_specs=spec, out_specs=spec,
+             check_vma=False)
+    def local_step(sst, t_zt, hum_zt, U_zu, V_zu, slp, rsw, rlw, lon, isd,
+                   dT_wl, Hz_wl, Qnt_ac, Tau_ac):
+        from .skin import SkinState
+        outs, ns = fused_flux_step(
+            cfg, sst, t_zt, hum_zt, U_zu, V_zu, slp, rsw, rlw, lon=lon,
+            isecday_utc=isd, block=block, interpret=interpret,
+            skin_state=SkinState(dT_wl=dT_wl, Hz_wl=Hz_wl,
+                                 Qnt_ac=Qnt_ac, Tau_ac=Tau_ac))
+        return (*outs, *ns)
+
+    flat = local_step(sst, t_zt, hum_zt, U_zu, V_zu, slp, rad_sw, rad_lw,
+                      lon, isd, *skin_state)
+    from .skin import SkinState
+    return tuple(flat[:6]), SkinState(*flat[6:])

@@ -115,3 +115,42 @@ def test_run_series_fused_backend_rejects_noskin():
     forcing = {k: z for k in ("sst", "t_zt", "hum_zt", "U_zu", "V_zu", "slp")}
     with pytest.raises(ValueError, match="fused"):
         run_series(cfg, forcing, backend="fused")
+
+
+def test_sharded_fused_step_matches_unsharded():
+    """The fused kernel under shard_map on an 8-device mesh == unsharded
+    (pointwise workload: sharding must not change a single bit)."""
+    from aerobulk_tpu.sharding import (make_grid_mesh, shard_grid_inputs,
+                                       sharded_fused_flux_step)
+
+    cfg = AeroBulkConfig(algo="coare3p6", niter=3, use_skin=True)
+    shape = (16, 512)
+    rng = np.random.default_rng(31)
+    mk = lambda a: jnp.asarray(a)
+    fields = dict(
+        sst=mk(285.0 + 15.0 * rng.random(shape)),
+        t=mk(284.0 + 16.0 * rng.random(shape)),
+        q=mk(0.004 + 0.012 * rng.random(shape)),
+        u=mk(rng.normal(0, 6, shape)), v=mk(rng.normal(0, 6, shape)),
+        slp=mk(98000 + 4000 * rng.random(shape)),
+        rsw=mk(500 * rng.random(shape)), rlw=mk(250 + 150 * rng.random(shape)),
+        lon=mk(360 * rng.random(shape)))
+    st = init_skin_state(cfg, shape)
+
+    ref_outs, ref_ns = fused_flux_step(
+        cfg, fields["sst"], fields["t"], fields["q"], fields["u"],
+        fields["v"], fields["slp"], fields["rsw"], fields["rlw"],
+        lon=fields["lon"], skin_state=st, block=(8, 128), interpret=True)
+
+    mesh = make_grid_mesh(shape=(2, 4))
+    sh = shard_grid_inputs(mesh, fields)
+    st_sh = shard_grid_inputs(mesh, st)
+    outs, ns = sharded_fused_flux_step(
+        mesh, cfg, sh["sst"], sh["t"], sh["q"], sh["u"], sh["v"], sh["slp"],
+        sh["rsw"], sh["rlw"], lon=sh["lon"], skin_state=st_sh,
+        block=(8, 128), interpret=True)
+
+    for a, b in zip(outs, ref_outs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ns.dT_wl),
+                                  np.asarray(ref_ns.dT_wl))
