@@ -98,6 +98,85 @@ def _fused(cfg: AeroBulkConfig, block, interpret, args, state):
         dT_wl=dT_wl, Hz_wl=Hz_wl, Qnt_ac=Qnt_ac, Tau_ac=Tau_ac)
 
 
+def _mixed_kernel(zt, zu, ice_algo, ocean_algo, niter, humidity,
+                  Ts_i, sst, t, q, u, v, slp, frice,
+                  QL, QH, Tau, Evap, T_s):
+    """Kernel body: one VMEM tile through the mixed ocean+ice pipeline."""
+    from ..api import flux_step_mixed
+    with pallas_safe_math():
+        net, _, _ = flux_step_mixed(
+            zt, zu, Ts_i[...], sst[...], t[...], q[...], u[...], v[...],
+            slp[...], frice[...], ice_algo=ice_algo, ocean_algo=ocean_algo,
+            niter=niter, humidity=humidity)
+    QL[...] = net.QL
+    QH[...] = net.QH
+    Tau[...] = net.Tau
+    Evap[...] = net.Evap
+    T_s[...] = net.T_s
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _fused_mixed(statics, block, interpret, args):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ny, nx = args[0].shape
+    by, bx = block
+    grid = (ny // by, nx // bx)
+    spec = pl.BlockSpec((by, bx), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    dtype = args[0].dtype
+    return pl.pallas_call(
+        functools.partial(_mixed_kernel, *statics),
+        grid=grid,
+        in_specs=[spec] * len(args),
+        out_specs=[spec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((ny, nx), dtype)] * 5,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_mixed_step(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
+                     frice, ice_algo="ice_lg15", ocean_algo="ecmwf",
+                     niter=5, humidity="sh", block=(16, 512),
+                     interpret=None):
+    """Mixed ocean+ice cell (``flux_step_mixed``) as one fused Pallas
+    kernel — the ``test_aerobulk_oce+ice.f90`` workload, BASELINE
+    config 5.  Stateless (no skin over ice/leads in the reference's
+    mixed-cell test).  Returns ``(QL, QH, Tau, Evap, T_s)`` of the
+    area-weighted net fluxes.
+
+    Measured reality (v5e, 0.25-degree, fp32, niter=5, scan-amortized):
+    the plain jit path wins here — ~360 Mpts/s vs ~245 for this kernel
+    (blocks (8..32, 512) within noise of each other).  Without the
+    skin-scheme chain XLA's own fusion has no HBM round trips to lose,
+    and Mosaic's deep-graph scheduling penalty dominates.  The jit path
+    stays the default for the mixed workload (bench.py config 5); this
+    kernel is the parity-tested explicitly-tiled alternative.
+    """
+    if interpret is None:
+        interpret = not pallas_available()
+
+    ny, nx = sst.shape
+    by = min(block[0], _round_up(ny, 8))
+    bx = min(block[1], _round_up(nx, 128))
+    py, px = _round_up(ny, by), _round_up(nx, bx)
+
+    def pad(x):
+        return jnp.pad(x, ((0, py - ny), (0, px - nx)), mode="edge")
+
+    args = tuple(pad(x) for x in (Ts_i, sst, t_zt, hum_zt, U_zu, V_zu,
+                                  slp, frice))
+    statics = (float(zt), float(zu), ice_algo, ocean_algo, int(niter),
+               humidity)
+    outs = _fused_mixed(statics, (by, bx), bool(interpret), args)
+    return tuple(o[:ny, :nx] for o in outs)
+
+
 def fused_flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
                     rad_sw, rad_lw, lon=None, isecday_utc=43200,
                     skin_state: Optional[SkinState] = None,

@@ -154,3 +154,30 @@ def test_sharded_fused_step_matches_unsharded():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(ns.dT_wl),
                                   np.asarray(ref_ns.dT_wl))
+
+
+def test_fused_mixed_step_matches_jit_path():
+    """fused_mixed_step == flux_step_mixed (interpret mode on CPU)."""
+    from aerobulk_tpu.api import flux_step_mixed
+    from aerobulk_tpu.kernels import fused_mixed_step
+
+    shape = (8, 128)
+    rng = np.random.default_rng(17)
+    mk = lambda a: jnp.asarray(a)
+    sst = mk(271.2 + 4.0 * rng.random(shape))
+    Ts_i = mk(250.0 + 21.0 * rng.random(shape))
+    t = mk(248.0 + 25.0 * rng.random(shape))
+    q = mk(0.0003 + 0.003 * rng.random(shape))
+    u = mk(rng.normal(0, 6, shape))
+    v = mk(rng.normal(0, 6, shape))
+    slp = mk(98000 + 4000 * rng.random(shape))
+    frice = mk(rng.random(shape))
+
+    net, _, _ = flux_step_mixed(2.0, 10.0, Ts_i, sst, t, q, u, v, slp,
+                                frice, niter=4)
+    outs = fused_mixed_step(2.0, 10.0, Ts_i, sst, t, q, u, v, slp, frice,
+                            niter=4, block=(8, 128), interpret=True)
+    ref = (net.QL, net.QH, net.Tau, net.Evap, net.T_s)
+    for name, a, b in zip(("QL", "QH", "Tau", "Evap", "T_s"), ref, outs):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-7, atol=1e-9, err_msg=name)
