@@ -331,7 +331,7 @@ def flux_step_mixed(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
 def run_series(cfg: AeroBulkConfig, forcing: dict,
                skin_state: Optional[SkinState] = None,
                isecday_utc=None, lon=None, remat: bool = False,
-               backend: str = "jit"):
+               backend: str = "jit", batch_records: bool = False):
     """Scan :func:`flux_step` over a time axis.
 
     ``forcing`` maps input names (sst, t_zt, hum_zt, U_zu, V_zu, slp,
@@ -351,6 +351,10 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
         config with ``use_skin=True``, and rad_sw/rad_lw in the forcing.
         Returns the reduced output set (QL, QH, Tau_x, Tau_y, Evap, T_s;
         ``Tau`` and ``rho_a``/``diag`` are None).
+
+    ``batch_records=True`` (stateless configs only) computes every record
+    in one vectorized call instead of scanning — the fast way to run
+    station/buoy series with a no-skin algorithm.
     """
     names = ["sst", "t_zt", "hum_zt", "U_zu", "V_zu", "slp"]
     opt = [n for n in ("rad_sw", "rad_lw") if n in forcing]
@@ -360,6 +364,23 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
                                      jnp.result_type(forcing["sst"]))
     if isecday_utc is None:
         isecday_utc = jnp.full((nt,), 12, jnp.int32)
+
+    if batch_records:
+        # Stateless configs (no skin scheme) have independent records:
+        # the computation is pointwise, so the whole (nt, ...) series is
+        # one vectorized flux_step call — a single device dispatch instead
+        # of an nt-step scan.  Massively faster for small grids / station
+        # series (the reference's main regression workload is a year of
+        # hourly single-point records).  Identical results by construction.
+        if cfg.use_skin:
+            raise ValueError("run_series(batch_records=True) requires a "
+                             "stateless (use_skin=False) config — skin "
+                             "state couples consecutive records")
+        out, _ = flux_step(
+            cfg, *(forcing[n] for n in names),
+            **{n: forcing[n] for n in opt},
+            lon=lon, skin_state=None)
+        return out, skin_state
 
     if backend == "fused":
         from .kernels.fused import fused_flux_step

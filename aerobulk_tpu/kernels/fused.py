@@ -150,13 +150,13 @@ def fused_mixed_step(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
     mixed-cell test).  Returns ``(QL, QH, Tau, Evap, T_s)`` of the
     area-weighted net fluxes.
 
-    Measured reality (v5e, 0.25-degree, fp32, niter=5, scan-amortized):
-    the plain jit path wins here — ~360 Mpts/s vs ~245 for this kernel
-    (blocks (8..32, 512) within noise of each other).  Without the
-    skin-scheme chain XLA's own fusion has no HBM round trips to lose,
-    and Mosaic's deep-graph scheduling penalty dominates.  The jit path
-    stays the default for the mixed workload (bench.py config 5); this
-    kernel is the parity-tested explicitly-tiled alternative.
+    Measured reality (v5e, 0.25-degree, fp32, niter=5, slope-timed — see
+    bench.py's methodology note): this kernel sustains ~770 Mpts/s vs
+    ~525 Mpts/s for the jit path, and is the bench default on TPU.  (An
+    earlier harness that conflated fixed RPC overhead with device time
+    and let XLA hoist the loop-invariant flux out of the timing scan
+    ranked them the other way; slope timing with argument-distinct,
+    serially-dependent dispatches settles it.)
     """
     if interpret is None:
         interpret = not pallas_available()
@@ -180,7 +180,7 @@ def fused_mixed_step(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
 def fused_flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
                     rad_sw, rad_lw, lon=None, isecday_utc=43200,
                     skin_state: Optional[SkinState] = None,
-                    block=(16, 512), interpret=None):
+                    block=(32, 256), interpret=None):
     """Run one flux step as a single fused Pallas kernel over 2-D tiles.
 
     Inputs must be 2-D (y, x).  Shapes are padded up to the block size
@@ -189,12 +189,13 @@ def fused_flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
     SkinState)``.
 
     Measured reality (v5e, 0.25-degree grid, fp32, niter=5, COARE3.6+skin,
-    scan-amortized over 20 records): this single-pass kernel sustains
-    ~300 Mpts/s at block (16, 512) vs ~190 Mpts/s for the plain jit path —
+    slope-timed over chained 10-record scans): this single-pass kernel
+    sustains ~525-535 Mpts/s at blocks (32, 256)/(16, 512) vs
+    ~190-230 Mpts/s for the plain jit path —
     one HBM read of the inputs and one write of the outputs per step,
-    where XLA's fusion clusters round-trip intermediates.  Small blocks
-    win: (16, 512) > (8, 512) > (128, 256); big tiles choke the Mosaic
-    scheduler on this very deep elementwise graph.  This kernel is the
+    where XLA's fusion clusters round-trip intermediates.  Block size is
+    the critical knob on this very deep elementwise graph: (32, 256) ≈
+    (16, 512) ≫ (8, 512), (16, 1440), (64, 512).  This kernel is the
     default TPU speed path used by ``bench.py``; the jit path remains the
     semantics reference and the fp64 validation path.
 

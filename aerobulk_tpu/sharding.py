@@ -82,7 +82,7 @@ def shard_grid_inputs(mesh: Mesh, tree):
 
 def sharded_fused_flux_step(mesh: Mesh, cfg, sst, t_zt, hum_zt, U_zu, V_zu,
                             slp, rad_sw, rad_lw, lon=None, isecday_utc=43200,
-                            skin_state=None, block=(16, 512),
+                            skin_state=None, block=(32, 256),
                             interpret=None):
     """Run the fused Pallas kernel per-device over a grid mesh.
 

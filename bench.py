@@ -9,6 +9,15 @@ The reference publishes no performance numbers (BASELINE.md), so
 the reference workload's arithmetic (recorded in BASELINE_CPU_POINTS_S
 below, conservative upper bound for the Fortran loop nest at nb_iter=5);
 the true baseline remains "none published".
+
+Timing methodology: the TPU here sits behind a remote tunnel with a fixed
+per-dispatch/sync cost of tens of ms that dwarfs small workloads, and
+``block_until_ready`` alone is not a reliable completion sync on this
+backend.  Sustained throughput is therefore measured by SLOPE: run M1 and
+M2 > M1 chained dispatches (each argument-distinct so nothing can be
+cached or elided), force a host read of a value that depends on every
+dispatch, and divide the wall-time difference by the extra work.  Fixed
+RPC/sync overheads cancel exactly.
 """
 
 import json
@@ -26,6 +35,24 @@ BASELINE_CPU_POINTS_S = 2.0e6
 NY, NX = 721, 1440          # 0.25-degree global grid
 NITER = 5                   # reference default nb_iter
 REPS = 20
+
+
+def _slope_time(chained_run, m1=1, m2=5):
+    """Marginal wall time of one ``chained_run`` dispatch.
+
+    ``chained_run(m)`` must issue m argument-distinct, serially-dependent
+    dispatches and return a small array whose value depends on all of
+    them; a host ``np.asarray`` of it is the completion sync.  Returns
+    seconds per dispatch: (t(m2) - t(m1)) / (m2 - m1).
+    """
+    # warm every distinct executable (compile outside the timed region)
+    np.asarray(chained_run(m2))
+    t = {}
+    for m in (m1, m2):
+        t0 = time.perf_counter()
+        np.asarray(chained_run(m))
+        t[m] = time.perf_counter() - t0
+    return max((t[m2] - t[m1]) / (m2 - m1), 1e-9)
 
 
 def _use_fused():
@@ -72,30 +99,35 @@ def main():
             outs, new_state = fused_flux_step(
                 cfg, *a[:6], a[6], a[7], lon=a[8], isecday_utc=43200,
                 skin_state=carry)
-            return new_state, (outs[0], outs[1], outs[2], outs[3])
+            return new_state, outs[0] + outs[1]
     else:
         def one_step(a, carry):
             out, new_state = flux_step(cfg, *a[:6], rad_sw=a[6], rad_lw=a[7],
                                        isecday_utc=43200, lon=a[8],
                                        skin_state=carry)
-            return new_state, (out.QL, out.QH, out.Tau_x, out.Tau_y)
+            return new_state, out.QL + out.QH
 
     @jax.jit
-    def steps(a, st):
-        # REPS time records inside one dispatch (the production shape:
-        # lax.scan over the time axis with the skin state as carry)
+    def steps(st, acc, salt):
+        # One dispatch = REPS time records (the production shape: lax.scan
+        # over the time axis with the skin state as carry).  ``salt`` and
+        # the accumulator chain make consecutive dispatches
+        # argument-distinct and serially dependent.
         def body(carry, _):
-            return one_step(a, carry)
-        st, outs = jax.lax.scan(body, st, None, length=REPS)
-        return st, jax.tree_util.tree_map(lambda x: x[-1], outs)
+            st, acc = carry
+            st, ql = one_step(args, st)
+            return (st, acc + ql), None
+        (st, acc), _ = jax.lax.scan(body, (st, acc + salt), None,
+                                    length=REPS)
+        return st, acc
 
-    # warmup / compile
-    jax.block_until_ready(steps(args, state))
+    def chained(m):
+        st, acc = state, jnp.zeros(shape, dtype)
+        for i in range(m):
+            st, acc = steps(st, acc, jnp.float32(i) * 1e-6)
+        return acc[:1, :1]
 
-    t0 = time.perf_counter()
-    jax.block_until_ready(steps(args, state))
-    dt = (time.perf_counter() - t0) / REPS
-
+    dt = _slope_time(chained) / REPS
     pts_per_s = NY * NX / dt
     print(json.dumps({
         "metric": "coare3p6_skin_0p25deg_grid_points_per_s_per_chip",
@@ -106,19 +138,29 @@ def main():
 
 
 def _timeit_scan(step_fn, carry, reps):
+    """Slope-timed seconds per step: one dispatch = a reps-step scan; the
+    marginal cost of extra chained dispatches cancels the fixed RPC/sync
+    overhead (see module docstring)."""
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
-    def steps(c):
+    def dispatch(c, salt):
+        c = jax.tree_util.tree_map(lambda x: x + salt, c)
+
         def body(c, _):
             return step_fn(c), None
         c, _ = jax.lax.scan(body, c, None, length=reps)
         return c
 
-    jax.block_until_ready(steps(carry))
-    t0 = time.perf_counter()
-    jax.block_until_ready(steps(carry))
-    return (time.perf_counter() - t0) / reps
+    def chained(m):
+        c = carry
+        for i in range(m):
+            c = dispatch(c, jnp.float32(i) * 1e-7)
+        leaf = jax.tree_util.tree_leaves(c)[0]
+        return jnp.ravel(leaf)[:1]
+
+    return _slope_time(chained) / reps
 
 
 def _mk_inputs(shape, dtype, seed=42, cold=False):
@@ -191,12 +233,47 @@ def main_all():
                           "unit": "points/s",
                           "vs_baseline": round(pts / BASELINE_CPU_POINTS_S, 2)}))
 
+    # Stateless algorithms -> the production path is batch_records=True:
+    # the whole record batch is one vectorized call, not an nt-step scan
+    # (run_series docstring).
+    def stateless_batched(name, algo, nt, shape):
+        import jax
+        from aerobulk_tpu.api import run_series
+
+        f2 = _mk_inputs((nt,) + shape, dtype, seed=7)
+        forcing = {k: f2[n] for k, n in
+                   (("sst", "sst"), ("t_zt", "t"), ("hum_zt", "q"),
+                    ("U_zu", "u"), ("V_zu", "v"), ("slp", "slp"))}
+        cfg = AeroBulkConfig(algo=algo, niter=NITER, use_skin=False)
+
+        @jax.jit
+        def run(salt, carry):
+            fc = dict(forcing)
+            fc["sst"] = fc["sst"] + salt      # argument-distinct dispatches
+            out, _ = run_series(cfg, fc, batch_records=True)
+            return (out.QL.mean() + out.QH.mean() + out.Tau_x.mean()
+                    + carry * 1e-30)
+
+        import jax.numpy as jnp
+
+        def chained(m):
+            c = jnp.zeros(())
+            for i in range(m):
+                c = run(c * 1e-30 + jnp.float32(i) * 1e-6, c)
+            return c
+
+        dt_s = _slope_time(chained)
+        pts = nt * shape[0] * shape[1] / dt_s
+        print(json.dumps({"metric": name, "value": round(pts, 1),
+                          "unit": "points/s",
+                          "vs_baseline": round(
+                              pts / BASELINE_CPU_POINTS_S, 2)}))
+
     # 1: NCAR small-grid buoy series
-    ocean_cfg_bench("ncar_small_grid_points_per_s", "ncar", (32, 128), False,
-                    reps=50)
+    stateless_batched("ncar_small_grid_points_per_s", "ncar", 512, (32, 128))
     # 2: COARE3.0 bulk-SST, 1-degree global, no radiation
-    ocean_cfg_bench("coare3p0_bulk_1deg_points_per_s", "coare3p0",
-                    (181, 360), False, reps=50)
+    stateless_batched("coare3p0_bulk_1deg_points_per_s", "coare3p0",
+                      32, (181, 360))
     # 3: headline — COARE3.6 + skin, 0.25-degree global
     ocean_cfg_bench("coare3p6_skin_0p25deg_points_per_s", "coare3p6",
                     (NY, NX), True)
@@ -204,15 +281,29 @@ def main_all():
     ocean_cfg_bench("ecmwf_skin_0p25deg_points_per_s", "ecmwf", (NY, NX),
                     True)
 
-    # 5: mixed ocean+ice cells (LG15 ice + ECMWF leads), 0.25-degree
+    # 5: mixed ocean+ice cells (LG15 ice + ECMWF leads), 0.25-degree.
+    # The scan body must depend on the carry (sst + c*1e-30), otherwise
+    # XLA hoists the whole loop-invariant flux computation out of the
+    # scan and the "per-step" time measures one step, not reps.
+    # Slope-measured: the fused kernel sustains ~770 Mpts/s vs ~525 for
+    # the jit path on this workload.
     f = _mk_inputs((NY, NX), dtype, cold=True)
     Ts_i = jnp.minimum(f["sst"], 271.0)
 
-    def step_mixed(c):
-        net, _, _ = flux_step_mixed(2.0, 10.0, Ts_i, f["sst"], f["t"],
-                                    f["q"], f["u"], f["v"], f["slp"],
-                                    f["frice"], niter=NITER)
-        return c + net.QL + net.Tau
+    if fused:
+        from aerobulk_tpu.kernels import fused_mixed_step
+
+        def step_mixed(c):
+            QL, QH, Tau, E, Ts = fused_mixed_step(
+                2.0, 10.0, Ts_i, f["sst"] + c * 1e-30, f["t"], f["q"],
+                f["u"], f["v"], f["slp"], f["frice"], niter=NITER)
+            return c + QL + Tau
+    else:
+        def step_mixed(c):
+            net, _, _ = flux_step_mixed(
+                2.0, 10.0, Ts_i, f["sst"] + c * 1e-30, f["t"], f["q"],
+                f["u"], f["v"], f["slp"], f["frice"], niter=NITER)
+            return c + net.QL + net.Tau
 
     dt_s = _timeit_scan(step_mixed, jnp.zeros((NY, NX), dtype), 10)
     pts = NY * NX / dt_s

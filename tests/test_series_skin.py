@@ -144,3 +144,35 @@ def test_skin_state_shards_with_grid():
         lambda x: jax.device_put(np.asarray(x)), f),
         jax.tree_util.tree_map(lambda x: jax.device_put(np.asarray(x)), state))
     np.testing.assert_allclose(np.asarray(ql), np.asarray(ql_ref), rtol=1e-12)
+
+
+def test_run_series_batch_records_matches_scan():
+    """Stateless series: batch_records=True (one vectorized call) must
+    equal the scan path exactly, and reject skin configs."""
+    import pytest
+    from aerobulk_tpu.api import AeroBulkConfig, run_series
+
+    cfg = AeroBulkConfig(algo="ncar", niter=5, use_skin=False)
+    nt, npts = 7, 33
+    rng = np.random.default_rng(41)
+    forcing = {
+        "sst": jnp.asarray(285.0 + 15.0 * rng.random((nt, npts))),
+        "t_zt": jnp.asarray(284.0 + 16.0 * rng.random((nt, npts))),
+        "hum_zt": jnp.asarray(0.004 + 0.012 * rng.random((nt, npts))),
+        "U_zu": jnp.asarray(rng.normal(0, 6, (nt, npts))),
+        "V_zu": jnp.asarray(rng.normal(0, 6, (nt, npts))),
+        "slp": jnp.asarray(98000 + 4000 * rng.random((nt, npts))),
+    }
+    out_scan, _ = run_series(cfg, forcing)
+    out_batch, _ = run_series(cfg, forcing, batch_records=True)
+    for name in ("QL", "QH", "Tau", "Tau_x", "Evap", "T_s"):
+        # not bitwise: XLA schedules the (nt, n) batch differently from
+        # the per-record scan body (fma contraction order); ~1 ulp level
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_batch, name)),
+            np.asarray(getattr(out_scan, name)), rtol=1e-12, atol=1e-300,
+            err_msg=name)
+
+    cfg_skin = AeroBulkConfig(algo="coare3p6", niter=2, use_skin=True)
+    with pytest.raises(ValueError, match="stateless"):
+        run_series(cfg_skin, forcing, batch_records=True)
