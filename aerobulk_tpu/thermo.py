@@ -416,6 +416,20 @@ def z0tq_lkb(iflag, Rer, z0):
     return jnp.minimum(jnp.maximum(jnp.abs(val), 1.0e-9), 0.05)
 
 
+def variance(x):
+    """Population *standard deviation* of a field (the reference's
+    VARIANCE, mod_phymbl.f90:1794-1807, returns sqrt of the variance
+    despite its name — quirk preserved, name kept for parity)."""
+    x = jnp.asarray(x)
+    m = jnp.mean(x)
+    return jnp.sqrt(jnp.mean((x - m) * (x - m)))
+
+
+def vmean(x):
+    """Arithmetic mean of a field (mod_phymbl.f90:1811-1822)."""
+    return jnp.mean(jnp.asarray(x))
+
+
 def delta_skin_layer(alpha, Qd, ustar_a, Qlat=None):
     """Thickness of the viscous skin layer, Fairall et al. 1996
     (mod_phymbl.f90:2010-2046)."""

@@ -145,6 +145,15 @@ def test_skin_state_shards_with_grid():
         jax.tree_util.tree_map(lambda x: jax.device_put(np.asarray(x)), state))
     np.testing.assert_allclose(np.asarray(ql), np.asarray(ql_ref), rtol=1e-12)
 
+    # Zero-collective property: the flux step is pointwise over the grid,
+    # so the partitioned program must contain NO cross-device communication
+    # (SURVEY.md §2.4) — which is what makes weak scaling ~100% efficient
+    # by construction (no halo, no reduction, nothing rides ICI/DCN).
+    hlo = step.lower(f, state).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all", "reduce-scatter", "send", "recv"):
+        assert coll not in hlo, f"unexpected collective {coll!r} in HLO"
+
 
 def test_run_series_batch_records_matches_scan():
     """Stateless series: batch_records=True (one vectorized call) must

@@ -185,6 +185,17 @@ def test_update_qnsol_tau_consistency():
     np.testing.assert_allclose(float(qlat[0]), float(ql2[0]), rtol=1e-12)
 
 
+def test_variance_vmean():
+    """VARIANCE/VMEAN parity (mod_phymbl.f90:1794-1822) — the reference's
+    VARIANCE returns the population *standard deviation* (sqrt applied)."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(2.0, 1.5, 1000)
+    np.testing.assert_allclose(float(thermo.vmean(x)), x.mean(), rtol=1e-12)
+    np.testing.assert_allclose(float(thermo.variance(x)),
+                               np.sqrt(((x - x.mean()) ** 2).mean()),
+                               rtol=1e-12)
+
+
 def test_profiler_report():
     import time as _time
     from aerobulk_tpu.profiling import Profiler
