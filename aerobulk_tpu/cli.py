@@ -52,7 +52,16 @@ def cmd_toy(args):
               f"q_zt = {float(q_zt[0]) * 1e3:.4f} g/kg (RH={args.rh}%)")
     else:
         t_zt = jnp.full(shape, args.t + c.rt0)
-        q_zt = jnp.full(shape, args.q * 1e-3)
+        if args.hum_rh is not None:       # the reference toy's -r mode
+            q_zt = thermo.q_air_rh(jnp.full(shape, args.hum_rh), t_zt, slp)
+            print(f" humidity from RH={args.hum_rh}%: "
+                  f"q_zt = {float(q_zt[0]) * 1e3:.4f} g/kg")
+        elif args.hum_dp is not None:     # the -d (dew point) mode
+            q_zt = thermo.q_air_dp(jnp.full(shape, args.hum_dp + c.rt0), slp)
+            print(f" humidity from dew point {args.hum_dp} C: "
+                  f"q_zt = {float(q_zt[0]) * 1e3:.4f} g/kg")
+        else:
+            q_zt = jnp.full(shape, args.q * 1e-3)
 
     theta = thermo.theta_from_z_p0_t_q(args.zt, slp, t_zt, q_zt)
     print(f"\n zu={args.zu} m, zt={args.zt} m, SST={args.sst} C, "
@@ -378,6 +387,23 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_tune(args):
+    from .kernels.tune import (DEFAULT_BLOCKS, tune_fused_blocks,
+                               tune_fused_mixed_blocks)
+
+    blocks = DEFAULT_BLOCKS
+    if args.blocks:
+        blocks = tuple(tuple(int(d) for d in b.split("x"))
+                       for b in args.blocks.split(","))
+    tune = (tune_fused_mixed_blocks if args.kernel == "mixed"
+            else tune_fused_blocks)
+    results = tune(blocks=blocks, reps=args.reps)
+    for (by, bx), pts in results:
+        print(json.dumps({"block": [by, bx], "points_per_s": round(pts, 1)}))
+    (by, bx), _ = results[0]
+    print(f"# best block: ({by}, {bx})")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="aerobulk-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -388,6 +414,12 @@ def main(argv=None):
     t.add_argument("--sst", type=float, default=22.0, help="SST [C]")
     t.add_argument("--t", type=float, default=20.0, help="air temp [C]")
     t.add_argument("--q", type=float, default=12.0, help="spec hum [g/kg]")
+    t.add_argument("--hum-rh", type=float, default=None,
+                   help="give humidity as relative humidity [%%] instead "
+                        "of --q (the reference toy's -r mode)")
+    t.add_argument("--hum-dp", type=float, default=None,
+                   help="give humidity as dew point [C] instead of --q "
+                        "(the reference toy's -d mode)")
     t.add_argument("--wind", type=float, default=5.0, help="wind [m/s]")
     t.add_argument("--slp", type=float, default=1010.0, help="slp [hPa]")
     t.add_argument("--niter", type=int, default=20)
@@ -449,6 +481,17 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="per-chip benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    tu = sub.add_parser("tune", help="autotune fused-kernel block shape "
+                                     "on the live device")
+    tu.add_argument("--blocks", default="",
+                    help="comma list like 32x256,16x512 (default: built-in "
+                         "candidate set)")
+    tu.add_argument("--reps", type=int, default=10)
+    tu.add_argument("--kernel", default="flux", choices=("flux", "mixed"),
+                    help="which fused kernel to tune: the skin flux step "
+                         "or the mixed ocean+ice step")
+    tu.set_defaults(fn=cmd_tune)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -16,7 +16,33 @@ from typing import Dict, Optional
 
 import jax
 
-__all__ = ["Profiler", "profiler"]
+__all__ = ["Profiler", "profiler", "slope_time"]
+
+
+def slope_time(chained_run, m1: int = 1, m2: int = 5) -> float:
+    """Marginal wall time of one dispatch, by SLOPE.
+
+    On a remote-tunneled TPU the fixed per-dispatch/sync overhead (tens of
+    ms) dwarfs small workloads, and ``block_until_ready`` is not a
+    reliable completion sync (see CLAUDE.md / bench.py).  Sustained
+    throughput is therefore measured as (t(m2) - t(m1)) / (m2 - m1) over
+    chained dispatches: fixed overheads cancel exactly.
+
+    ``chained_run(m)`` must issue m argument-distinct, serially-dependent
+    dispatches and return a small array whose value depends on all of
+    them (otherwise XLA hoists loop-invariant work and you time one
+    step); the host ``np.asarray`` here is the true completion sync.
+    """
+    import numpy as np
+
+    # warm every distinct executable (compile outside the timed region)
+    np.asarray(chained_run(m2))
+    t = {}
+    for m in (m1, m2):
+        t0 = time.perf_counter()
+        np.asarray(chained_run(m))
+        t[m] = time.perf_counter() - t0
+    return max((t[m2] - t[m1]) / (m2 - m1), 1e-9)
 
 
 class Profiler:

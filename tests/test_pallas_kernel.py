@@ -181,3 +181,24 @@ def test_fused_mixed_step_matches_jit_path():
     for name, a, b in zip(("QL", "QH", "Tau", "Evap", "T_s"), ref, outs):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-7, atol=1e-9, err_msg=name)
+
+
+def test_tune_fused_blocks_tiny():
+    """The autotuner runs end-to-end (interpret mode, tiny grid) and
+    returns one throughput per candidate block, fastest first."""
+    from aerobulk_tpu.kernels.tune import tune_fused_blocks
+
+    results = tune_fused_blocks(shape=(8, 128), blocks=[(8, 128)],
+                                reps=1, interpret=True)
+    assert len(results) == 1
+    (block, pts), = results
+    assert block == (8, 128) and pts > 0
+
+
+def test_tune_fused_mixed_blocks_tiny():
+    from aerobulk_tpu.kernels.tune import tune_fused_mixed_blocks
+
+    results = tune_fused_mixed_blocks(shape=(8, 128), blocks=[(8, 128)],
+                                      reps=1, niter=2, interpret=True)
+    (block, pts), = results
+    assert block == (8, 128) and pts > 0
