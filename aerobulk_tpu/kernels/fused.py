@@ -177,6 +177,81 @@ def fused_mixed_step(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
     return tuple(o[:ny, :nx] for o in outs)
 
 
+def _ice_kernel(zt, zu, ice_algo, niter, humidity, has_frice, algo_kw,
+                Ts_i, t, q, u, v, slp, frice,
+                QL, QH, Tau_x, Tau_y, Evap, T_s):
+    """Kernel body: one VMEM tile through the ice-only flux pipeline."""
+    from ..api import flux_step_ice
+    with pallas_safe_math():
+        out, _ = flux_step_ice(
+            ice_algo, zt, zu, Ts_i[...], t[...], q[...], u[...], v[...],
+            slp[...], frice=frice[...] if has_frice else None,
+            niter=niter, humidity=humidity, **dict(algo_kw))
+    QL[...] = out.QL
+    QH[...] = out.QH
+    Tau_x[...] = out.Tau_x
+    Tau_y[...] = out.Tau_y
+    Evap[...] = out.Evap
+    T_s[...] = out.T_s
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _fused_ice(statics, block, interpret, args):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ny, nx = args[0].shape
+    by, bx = block
+    grid = (ny // by, nx // bx)
+    spec = pl.BlockSpec((by, bx), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    dtype = args[0].dtype
+    return pl.pallas_call(
+        functools.partial(_ice_kernel, *statics),
+        grid=grid,
+        in_specs=[spec] * len(args),
+        out_specs=[spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((ny, nx), dtype)] * 6,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_ice_step(ice_algo, zt, zu, Ts_i, t_zt, hum_zt, U_zu, V_zu, slp,
+                   frice=None, niter=5, humidity="sh", block=(16, 512),
+                   interpret=None, **algo_kw):
+    """Ice-only flux step (``flux_step_ice``) as one fused Pallas kernel —
+    the ``test_aerobulk_buoy_series_ice.f90`` workload on a grid.
+    Stateless (no skin scheme exists over ice in the reference,
+    src/ice/mod_blk_ice_*.f90).  Scalar ``algo_kw`` (e.g. the constant
+    neutral coefficients of ``ice_easy``) are baked in as compile-time
+    statics.  Returns ``(QL, QH, Tau_x, Tau_y, Evap, T_s)``.
+    """
+    if interpret is None:
+        interpret = not pallas_available()
+
+    ny, nx = Ts_i.shape
+    by = min(block[0], _round_up(ny, 8))
+    bx = min(block[1], _round_up(nx, 128))
+    py, px = _round_up(ny, by), _round_up(nx, bx)
+
+    def pad(x):
+        return jnp.pad(x, ((0, py - ny), (0, px - nx)), mode="edge")
+
+    has_frice = frice is not None
+    if frice is None:
+        frice = jnp.zeros_like(Ts_i)   # placeholder tile; kernel ignores it
+    args = tuple(pad(x) for x in (Ts_i, t_zt, hum_zt, U_zu, V_zu, slp,
+                                  frice))
+    statics = (float(zt), float(zu), ice_algo, int(niter), humidity,
+               has_frice, tuple(sorted(algo_kw.items())))
+    outs = _fused_ice(statics, (by, bx), bool(interpret), args)
+    return tuple(o[:ny, :nx] for o in outs)
+
+
 def fused_flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
                     rad_sw, rad_lw, lon=None, isecday_utc=43200,
                     skin_state: Optional[SkinState] = None,

@@ -183,6 +183,65 @@ def test_fused_mixed_step_matches_jit_path():
                                    rtol=5e-7, atol=1e-9, err_msg=name)
 
 
+def test_fused_ice_step_matches_jit_path():
+    """fused_ice_step == flux_step_ice (interpret mode on CPU), both for a
+    frice-dependent algo and a pure-MOST one (no frice input)."""
+    from aerobulk_tpu.api import flux_step_ice
+    from aerobulk_tpu.kernels import fused_ice_step
+
+    shape = (8, 128)
+    rng = np.random.default_rng(23)
+    mk = lambda a: jnp.asarray(a)
+    Ts_i = mk(250.0 + 21.0 * rng.random(shape))
+    t = mk(248.0 + 25.0 * rng.random(shape))
+    q = mk(0.0003 + 0.003 * rng.random(shape))
+    u = mk(rng.normal(0, 6, shape))
+    v = mk(rng.normal(0, 6, shape))
+    slp = mk(98000 + 4000 * rng.random(shape))
+    frice = mk(rng.random(shape))
+
+    for algo, kw in (("ice_lg15", dict(frice=frice)),
+                     ("ice_an05", {})):
+        out, _ = flux_step_ice(algo, 2.0, 10.0, Ts_i, t, q, u, v, slp,
+                               niter=4, **kw)
+        ref = (out.QL, out.QH, out.Tau_x, out.Tau_y, out.Evap, out.T_s)
+        outs = fused_ice_step(algo, 2.0, 10.0, Ts_i, t, q, u, v, slp,
+                              niter=4, block=(8, 128), interpret=True,
+                              **kw)
+        for name, a, b in zip(("QL", "QH", "Tx", "Ty", "Evap", "T_s"),
+                              ref, outs):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-7, atol=1e-9,
+                                       err_msg=f"{algo}:{name}")
+
+
+def test_fused_ice_step_scalar_algo_kw():
+    """Scalar algo_kw (ice_easy's constant neutral coefficients) ride the
+    static tuple into the kernel."""
+    from aerobulk_tpu.api import flux_step_ice
+    from aerobulk_tpu.kernels import fused_ice_step
+
+    shape = (8, 128)
+    rng = np.random.default_rng(29)
+    mk = lambda a: jnp.asarray(a)
+    Ts_i = mk(255.0 + 15.0 * rng.random(shape))
+    t = mk(250.0 + 20.0 * rng.random(shape))
+    q = mk(0.0003 + 0.003 * rng.random(shape))
+    u = mk(rng.normal(0, 6, shape))
+    v = mk(rng.normal(0, 6, shape))
+    slp = mk(100000.0 + 0 * Ts_i)
+
+    kw = dict(CdN=1.6e-3, ChN=1.5e-3, CeN=1.5e-3)
+    out, _ = flux_step_ice("ice_easy", 2.0, 10.0, Ts_i, t, q, u, v, slp,
+                           niter=4, **kw)
+    outs = fused_ice_step("ice_easy", 2.0, 10.0, Ts_i, t, q, u, v, slp,
+                          niter=4, block=(8, 128), interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(out.QL),
+                               rtol=5e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(outs[5]), np.asarray(out.T_s),
+                               rtol=5e-7, atol=1e-9)
+
+
 def test_tune_fused_blocks_tiny():
     """The autotuner runs end-to-end (interpret mode, tiny grid) and
     returns one throughput per candidate block, fastest first."""
