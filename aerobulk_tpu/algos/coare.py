@@ -179,17 +179,21 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
             # On non-commit iterations WL_COARE has no observable effect
             # (state untouched, outputs discarded), so the whole block —
             # including the Qns/Tau evaluation that only feeds it — is
-            # skipped, exactly preserving semantics.
+            # skipped, exactly preserving semantics.  The trailing
+            # T_s/q_s refresh is likewise only needed when the state may
+            # have changed: otherwise it recomputes the values the cool-
+            # skin block (or the previous commit) already produced, so it
+            # too is statically elided (one q_sat per skipped iteration).
             if niter % jit == 0:
                 Qns, Tau, _ = update_qnsol_tau(
                     zu, T_s, q_s, t_zu, q_zu, us, ts, qs, U_zu, Ub, slp,
                     rad_lw)
                 state = wl_coare(Qsw, Qns, Tau, xSST, lon, isecday_utc,
                                  state, rdt=rdt, gdept=gdept)
-            T_s = xSST + state.dT_wl
-            if use_cs:
-                T_s = T_s + dT_cs
-            q_s = c.rdct_qsat_salt * q_sat(jnp.maximum(T_s, 200.0), slp)
+                T_s = xSST + state.dT_wl
+                if use_cs:
+                    T_s = T_s + dT_cs
+                q_s = c.rdct_qsat_salt * q_sat(jnp.maximum(T_s, 200.0), slp)
 
         if use_cs or use_wl or not zt_eq_zu:
             dt = nonzero_delta(t_zu - T_s, 1.0e-9)

@@ -404,8 +404,33 @@ def cmd_tune(args):
     print(f"# best block: ({by}, {bx})")
 
 
+# Subcommands that reproduce reference fp64 tables/curves: these default
+# to the CPU backend with x64 enabled (the reference is -fdefault-real-8
+# Fortran; on this machine the bare backend would otherwise be the axon
+# TPU, which is fp32 and pays a remote compile per eager op).  ``bench``
+# and ``tune`` measure the TPU and keep the default platform.
+_CPU_FP64_CMDS = ("toy", "ice-toy", "cdnf", "cx-vs-wind", "coef-n10",
+                  "psi-stab")
+
+
+def _select_device(device: str):
+    import jax
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    elif device == "tpu":
+        pass          # leave the registered default (axon/tpu) in place
+    # "auto": per-subcommand default already applied by main()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="aerobulk-tpu", description=__doc__)
+    p.add_argument("--device", default="auto", choices=("auto", "cpu", "tpu"),
+                   help="backend: 'cpu' forces CPU+fp64 (parity with the "
+                        "fp64 reference), 'tpu' keeps the default "
+                        "accelerator, 'auto' picks CPU+fp64 for the "
+                        "table/curve tools and the accelerator for "
+                        "bench/tune/series")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("toy", help="single-point all-algo comparison")
@@ -494,6 +519,10 @@ def main(argv=None):
     tu.set_defaults(fn=cmd_tune)
 
     args = p.parse_args(argv)
+    if args.device == "auto" and args.cmd in _CPU_FP64_CMDS:
+        _select_device("cpu")
+    else:
+        _select_device(args.device)
     args.fn(args)
 
 
