@@ -19,7 +19,8 @@ import jax
 __all__ = ["Profiler", "profiler", "slope_time"]
 
 
-def slope_time(chained_run, m1: int = 1, m2: int = 5) -> float:
+def slope_time(chained_run, m1: int = 1, m2: int = 5,
+               repeats: int = 3) -> float:
     """Marginal wall time of one dispatch, by SLOPE.
 
     On a remote-tunneled TPU the fixed per-dispatch/sync overhead (tens of
@@ -37,12 +38,16 @@ def slope_time(chained_run, m1: int = 1, m2: int = 5) -> float:
 
     # warm every distinct executable (compile outside the timed region)
     np.asarray(chained_run(m2))
-    t = {}
-    for m in (m1, m2):
-        t0 = time.perf_counter()
-        np.asarray(chained_run(m))
-        t[m] = time.perf_counter() - t0
-    return max((t[m2] - t[m1]) / (m2 - m1), 1e-9)
+    slopes = []
+    for _ in range(repeats):
+        t = {}
+        for m in (m1, m2):
+            t0 = time.perf_counter()
+            np.asarray(chained_run(m))
+            t[m] = time.perf_counter() - t0
+        slopes.append((t[m2] - t[m1]) / (m2 - m1))
+    # median: a transient host-contention spike skews one repeat's slope
+    return max(float(np.median(slopes)), 1e-9)
 
 
 class Profiler:
