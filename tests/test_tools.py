@@ -149,3 +149,25 @@ def test_cli_series_roundtrip(tmp_path):
     assert len(back["Qlat"]) == nt
     assert np.all(np.isfinite(back["Qlat"]))
     assert np.all(np.isfinite(back["dT_wl"]))
+
+
+def test_cli_toy_bare_subprocess_defaults_to_cpu_fp64():
+    """`python -m aerobulk_tpu.cli toy` from a *bare* process (no conftest)
+    must auto-select CPU+fp64 and reproduce the README table
+    (README.md:188-211 of the reference) — on this machine the default
+    backend would otherwise be the fp32 axon TPU."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "aerobulk_tpu.cli", "toy", "--sst", "22",
+         "--t", "20", "--q", "12", "--wind", "5"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    cd_line = next(ln for ln in r.stdout.splitlines()
+                   if ln.strip().startswith("C_D "))
+    row = cd_line.strip().removeprefix("C_D").rsplit("[", 1)[0]
+    vals = [float(v) for v in row.split("|")]
+    # niter=20 columns: coare3p0, coare3p6, ncar, ecmwf, andreas [1e-3]
+    ref = [1.1952, 1.0773, 1.2037, 1.2861, 1.0166]
+    np.testing.assert_allclose(vals, ref, atol=2e-4)
