@@ -179,11 +179,12 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
             # On non-commit iterations WL_COARE has no observable effect
             # (state untouched, outputs discarded), so the whole block —
             # including the Qns/Tau evaluation that only feeds it — is
-            # skipped, exactly preserving semantics.  The trailing
-            # T_s/q_s refresh is likewise only needed when the state may
-            # have changed: otherwise it recomputes the values the cool-
-            # skin block (or the previous commit) already produced, so it
-            # too is statically elided (one q_sat per skipped iteration).
+            # skipped.  The trailing T_s/q_s refresh is likewise elided on
+            # those iterations.  Warm-layer-only semantics are preserved
+            # exactly; with cool-skin also on, the reference recomputes
+            # T_s as (xSST+dT_wl)+dT_cs where the retained cool-skin value
+            # is (xSST+dT_cs)+dT_wl — identical up to fp addition order
+            # (ULP-level), so a future bitwise-parity check must allow it.
             if niter % jit == 0:
                 Qns, Tau, _ = update_qnsol_tau(
                     zu, T_s, q_s, t_zu, q_zu, us, ts, qs, U_zu, Ub, slp,

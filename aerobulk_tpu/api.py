@@ -299,14 +299,25 @@ def flux_step_ice(ice_algo: str, zt, zu, Ts_i, t_zt, hum_zt, U_zu, V_zu,
 
 def flux_step_mixed(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
                     frice, ice_algo="ice_lg15", ocean_algo="ecmwf",
-                    niter=5, humidity="sh"):
+                    niter=5, humidity="sh", simultaneous=False):
     """Mixed ocean+ice grid cell: ice fluxes over the ice fraction, ocean
     fluxes over the leads, area-weighted net (the
     ``test_aerobulk_oce+ice.f90`` workload, BASELINE config 5).
 
+    ``simultaneous=True`` selects the reference's LG15_IO path
+    (mod_blk_ice_lg15_io.f90:55-404): ice and open-water transfer
+    coefficients are solved in ONE pass by the same Louis-stability
+    scheme (``turb_ice_lg15_io``) instead of running a separate ocean
+    algorithm over the leads; ``ice_algo``/``ocean_algo`` are then
+    ignored.
+
     Returns ``(net FluxOutput, ice FluxOutput, ocean FluxOutput)`` where
     the net fluxes are ``A * ice + (1 - A) * ocean``.
     """
+    if simultaneous:
+        return _flux_step_mixed_lg15_io(zt, zu, Ts_i, sst, t_zt, hum_zt,
+                                        U_zu, V_zu, slp, frice,
+                                        niter=niter, humidity=humidity)
     out_i, _ = flux_step_ice(ice_algo, zt, zu, Ts_i, t_zt, hum_zt,
                              U_zu, V_zu, slp, frice=frice, niter=niter,
                              humidity=humidity)
@@ -326,6 +337,89 @@ def flux_step_mixed(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
         T_s=blend(out_i.T_s, out_w.T_s),
         rho_a=blend(out_i.rho_a, out_w.rho_a), diag=out_w.diag)
     return net, out_i, out_w
+
+
+def _flux_outputs_from_result(zu, res, wnd, U_zu, V_zu, slp, l_ice):
+    """BULK_FORMULA + stress decomposition for one surface's FluxResult."""
+    Tau, QH, QL, Evap, rho_a = thermo.bulk_formula(
+        zu, res.T_s, res.q_s, res.t_zu, res.q_zu,
+        res.Cd, res.Ch, res.Ce, wnd, res.Ubzu, slp, l_ice=l_ice)
+    safe = wnd > 1.0e-3
+    inv_w = jnp.where(safe, 1.0 / jnp.maximum(wnd, 1.0e-3), 0.0)
+    return FluxOutput(QL=QL, QH=QH, Tau=Tau, Tau_x=Tau * inv_w * U_zu,
+                      Tau_y=Tau * inv_w * V_zu, Evap=Evap, T_s=res.T_s,
+                      rho_a=rho_a, diag=res)
+
+
+def _flux_step_mixed_lg15_io(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu,
+                             slp, frice, niter=5, humidity="sh"):
+    """LG15_IO mixed-cell step: one simultaneous ice+water coefficient
+    solve (mod_blk_ice_lg15_io.f90:55-404), then per-surface BULK_FORMULA
+    (ice branch over ice, ocean branch over leads) and area blending."""
+    from .ice import turb_ice_lg15_io
+
+    if humidity == "sh":
+        q_zt = hum_zt
+    elif humidity == "dp":
+        q_zt = thermo.q_air_dp(hum_zt, jnp.maximum(slp, 50000.0))
+    else:
+        q_zt = thermo.q_air_rh(hum_zt, t_zt, jnp.maximum(slp, 50000.0))
+
+    wnd = jnp.sqrt(U_zu * U_zu + V_zu * V_zu)
+    qs_i = thermo.q_sat(Ts_i, slp, l_ice=True)
+    ssq_w = c.rdct_qsat_salt * thermo.q_sat(sst, slp)
+    theta_zt = thermo.theta_from_z_p0_t_q(zt, slp, t_zt, q_zt)
+
+    res_i, res_w = turb_ice_lg15_io(zt, zu, Ts_i, theta_zt, qs_i, q_zt,
+                                    wnd, frice, Ts_w=sst, qs_w=ssq_w,
+                                    niter=niter)
+    out_i = _flux_outputs_from_result(zu, res_i, wnd, U_zu, V_zu, slp, True)
+    out_w = _flux_outputs_from_result(zu, res_w, wnd, U_zu, V_zu, slp, False)
+
+    def blend(i, w):
+        return frice * i + (1.0 - frice) * w
+
+    net = FluxOutput(
+        QL=blend(out_i.QL, out_w.QL), QH=blend(out_i.QH, out_w.QH),
+        Tau=blend(out_i.Tau, out_w.Tau),
+        Tau_x=blend(out_i.Tau_x, out_w.Tau_x),
+        Tau_y=blend(out_i.Tau_y, out_w.Tau_y),
+        Evap=blend(out_i.Evap, out_w.Evap),
+        T_s=blend(out_i.T_s, out_w.T_s),
+        rho_a=blend(out_i.rho_a, out_w.rho_a), diag=out_w.diag)
+    return net, out_i, out_w
+
+
+# ---------------------------------------------------------------------------
+# flux sanity semantics (BULK_FORMULA_VCTR's tau abort, jit-compatible)
+# ---------------------------------------------------------------------------
+
+def flux_sanity_count(out: FluxOutput):
+    """Jit-compatible analogue of the reference's wind-stress sanity abort
+    (``BULK_FORMULA_VCTR``, mod_phymbl.f90:1249-1253): the number of
+    points with |tau| above ``ref_tau_max`` or a non-finite flux.  Returns
+    a traced int32 scalar — 0 means healthy.  Fold it into diagnostics or
+    check it on the host via :func:`check_flux_sanity`."""
+    bad = ((jnp.abs(out.Tau) > c.ref_tau_max)
+           | ~jnp.isfinite(out.Tau) | ~jnp.isfinite(out.QL)
+           | ~jnp.isfinite(out.QH))
+    return jnp.sum(bad.astype(jnp.int32))
+
+
+def check_flux_sanity(out: FluxOutput):
+    """Host-side equivalent of the reference's ``ctl_stop`` on
+    ``tau > ref_tau_max`` (mod_phymbl.f90:1249-1253): raises ValueError
+    naming the worst offender.  Under jit use :func:`flux_sanity_count`
+    instead (aborting is not jit-compatible)."""
+    n = int(flux_sanity_count(out))
+    if n:
+        tau = np.asarray(out.Tau, np.float64)
+        worst = float(np.nanmax(np.abs(tau)))
+        raise ValueError(
+            f"flux sanity check failed at {n} point(s): wind stress too "
+            f"strong or non-finite flux (max |tau| = {worst:.3f} N/m^2, "
+            f"limit {c.ref_tau_max}) — check input units/ranges")
+    return out
 
 
 def run_series(cfg: AeroBulkConfig, forcing: dict,
@@ -456,6 +550,10 @@ def aerobulk_model(jt, Nt, calgo, zt, zu, sst, t_zt, hum_zt, U_zu, V_zu,
                            rad_sw=rad_sw, rad_lw=rad_lw,
                            isecday_utc=isecday_utc, lon=lon,
                            skin_state=_MODEL_STATE[key])
+    # the reference's BULK_FORMULA_VCTR aborts on tau > ref_tau_max
+    # (mod_phymbl.f90:1249-1253); this driver-level path is host-side,
+    # so the same hard-stop semantics apply here.
+    check_flux_sanity(out)
     if int(jt) >= int(Nt):
         _MODEL_STATE.pop(key, None)
     else:

@@ -12,7 +12,7 @@ from .best import cx_lupkes2015, turb_ice_best
 from .easy import turb_ice_easy
 from .form_drag import (cdn10_f_lu12, cdn10_f_lu13, cdn_f_lg15,
                         cdn_f_lg15_light, cdn_f_lu12_eq36)
-from .lg15 import turb_ice_lg15, turb_ice_lg15_io
+from .lg15 import turb_ice_lg15, turb_ice_lg15_io, turb_ice_lg15_io_ice
 from .lu12 import turb_ice_lu12
 from .nemo import turb_ice_nemo
 
@@ -23,6 +23,7 @@ ICE_ALGOS = {
     "ice_an05": (turb_ice_an05, False),
     "ice_lu12": (turb_ice_lu12, True),
     "ice_lg15": (turb_ice_lg15, True),
+    "ice_lg15_io": (turb_ice_lg15_io_ice, True),
     "ice_best": (turb_ice_best, False),
 }
 
@@ -30,5 +31,6 @@ __all__ = [
     "ICE_ALGOS", "cdn10_f_lu12", "cdn10_f_lu13", "cdn_f_lg15",
     "cdn_f_lg15_light", "cdn_f_lu12_eq36", "cx_lupkes2015", "rough_leng_m",
     "rough_leng_tq", "turb_ice_an05", "turb_ice_best", "turb_ice_easy",
-    "turb_ice_lg15", "turb_ice_lg15_io", "turb_ice_lu12", "turb_ice_nemo",
+    "turb_ice_lg15", "turb_ice_lg15_io", "turb_ice_lg15_io_ice",
+    "turb_ice_lu12", "turb_ice_nemo",
 ]

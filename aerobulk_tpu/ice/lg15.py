@@ -173,3 +173,15 @@ def turb_ice_lg15_io(zt, zu, Ts_i, t_zt, qs_i, q_zt, U_zu, frice,
     res_w = _pack_result(zu, Ts_w, qs_w, Cdw, Chw, t_zuw, q_zuw, dtw, dqw,
                          Ub, CdN_sw, ChN_sw, CdN_fw, ChN_fw)
     return res_i, res_w
+
+
+def turb_ice_lg15_io_ice(zt, zu, Ts_i, t_zt, qs_i, q_zt, U_zu, frice,
+                         niter=5, add_form_drag=True):
+    """Ice side of the IO variant, with the same ``FluxResult`` signature
+    as the rest of the family — this is what ``ICE_ALGOS['ice_lg15_io']``
+    dispatches to (the water side is reached via
+    ``api.flux_step_mixed(simultaneous=True)``)."""
+    res_i, _ = turb_ice_lg15_io(zt, zu, Ts_i, t_zt, qs_i, q_zt, U_zu,
+                                frice, niter=niter,
+                                add_form_drag=add_form_drag)
+    return res_i

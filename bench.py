@@ -22,9 +22,10 @@ RPC/sync overheads cancel exactly.
 
 import json
 import sys
-import time
 
 import numpy as np
+
+from aerobulk_tpu.profiling import slope_time as _slope_time
 
 
 # Conservative estimate of the reference Fortran throughput for the same
@@ -35,30 +36,6 @@ BASELINE_CPU_POINTS_S = 2.0e6
 NY, NX = 721, 1440          # 0.25-degree global grid
 NITER = 5                   # reference default nb_iter
 REPS = 20
-
-
-def _slope_time(chained_run, m1=1, m2=5, repeats=3):
-    """Marginal wall time of one ``chained_run`` dispatch.
-
-    ``chained_run(m)`` must issue m argument-distinct, serially-dependent
-    dispatches and return a small array whose value depends on all of
-    them; a host ``np.asarray`` of it is the completion sync.  Returns
-    seconds per dispatch: the median over ``repeats`` of
-    (t(m2) - t(m1)) / (m2 - m1) — the median discards transient host
-    contention (a background process during one repeat skews that slope
-    only).
-    """
-    # warm every distinct executable (compile outside the timed region)
-    np.asarray(chained_run(m2))
-    slopes = []
-    for _ in range(repeats):
-        t = {}
-        for m in (m1, m2):
-            t0 = time.perf_counter()
-            np.asarray(chained_run(m))
-            t[m] = time.perf_counter() - t0
-        slopes.append((t[m2] - t[m1]) / (m2 - m1))
-    return max(float(np.median(slopes)), 1e-9)
 
 
 def _use_fused():

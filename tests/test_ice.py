@@ -148,3 +148,48 @@ def test_mixed_cell_blend():
           + (1 - np.asarray(frice)) * np.asarray(out_w.QL))
     np.testing.assert_allclose(np.asarray(net.QL), ql, rtol=1e-12)
     assert np.all(np.isfinite(np.asarray(net.Tau)))
+
+
+def test_mixed_cell_simultaneous_lg15_io():
+    """flux_step_mixed(simultaneous=True) = one LG15_IO solve for both
+    surfaces (mod_blk_ice_lg15_io.f90:55-404): ice side must equal the
+    registered ice_lg15_io algorithm, water side must use the ocean
+    (non-sublimation) latent-heat branch, and the net must be the
+    area-weighted blend."""
+    Ts_i, t_zt, q_zt, U, V, slp, frice = _arctic_inputs()
+    sst = jnp.full_like(Ts_i, 272.5)
+
+    net, out_i, out_w = flux_step_mixed(ZT, ZU, Ts_i, sst, t_zt, q_zt,
+                                        U, V, slp, frice,
+                                        simultaneous=True, niter=6)
+
+    # ice side identical to the registry path
+    out_i_reg, _ = flux_step_ice("ice_lg15_io", ZT, ZU, Ts_i, t_zt, q_zt,
+                                 U, V, slp, frice=frice, niter=6)
+    np.testing.assert_allclose(np.asarray(out_i.QH),
+                               np.asarray(out_i_reg.QH), rtol=1e-12)
+
+    # blend property
+    ql = (np.asarray(frice) * np.asarray(out_i.QL)
+          + (1 - np.asarray(frice)) * np.asarray(out_w.QL))
+    np.testing.assert_allclose(np.asarray(net.QL), ql, rtol=1e-12)
+
+    # water side is an ocean surface: latent heat via L_vap(T_s), not rLsub
+    ev = np.asarray(out_w.Evap)
+    lv = np.asarray((2.501 - 0.00237 * (np.asarray(out_w.T_s) - c.rt0)) * 1e6)
+    np.testing.assert_allclose(np.asarray(out_w.QL), lv * ev, rtol=1e-12)
+
+    assert np.all(np.isfinite(np.asarray(net.Tau)))
+
+
+def test_ice_lg15_io_registered_and_distinct_water_path():
+    """The IO variant is reachable from the public registry (VERDICT
+    round-1 item 7) and its ice side matches plain LG15."""
+    assert "ice_lg15_io" in ICE_ALGOS
+    Ts_i, t_zt, q_zt, U, V, slp, frice = _arctic_inputs()
+    out_io, d_io = flux_step_ice("ice_lg15_io", ZT, ZU, Ts_i, t_zt, q_zt,
+                                 U, V, slp, frice=frice, niter=6)
+    out_15, d_15 = flux_step_ice("ice_lg15", ZT, ZU, Ts_i, t_zt, q_zt,
+                                 U, V, slp, frice=frice, niter=6)
+    np.testing.assert_allclose(np.asarray(d_io.Cd), np.asarray(d_15.Cd),
+                               rtol=1e-12)

@@ -151,6 +151,7 @@ def test_cli_series_roundtrip(tmp_path):
     assert np.all(np.isfinite(back["dT_wl"]))
 
 
+@pytest.mark.slow
 def test_cli_toy_bare_subprocess_defaults_to_cpu_fp64():
     """`python -m aerobulk_tpu.cli toy` from a *bare* process (no conftest)
     must auto-select CPU+fp64 and reproduce the README table
@@ -171,3 +172,25 @@ def test_cli_toy_bare_subprocess_defaults_to_cpu_fp64():
     # niter=20 columns: coare3p0, coare3p6, ncar, ecmwf, andreas [1e-3]
     ref = [1.1952, 1.0773, 1.2037, 1.2861, 1.0166]
     np.testing.assert_allclose(vals, ref, atol=2e-4)
+
+
+def test_flux_sanity_tau_guard():
+    """tau > ref_tau_max semantics (BULK_FORMULA_VCTR abort,
+    mod_phymbl.f90:1249-1253): jit-compatible count + host-side raise."""
+    import jax
+    from aerobulk_tpu import constants as c
+    from aerobulk_tpu.api import (check_flux_sanity, flux, flux_sanity_count)
+
+    n = 8
+    out = flux("coare3p6", 2.0, 10.0, jnp.full(n, 295.0), jnp.full(n, 293.0),
+               jnp.full(n, 0.012), jnp.full(n, 8.0), jnp.zeros(n),
+               jnp.full(n, 101000.0))
+    assert int(flux_sanity_count(out)) == 0
+    check_flux_sanity(out)   # healthy: no raise
+
+    bad = out._replace(Tau=out.Tau.at[2].set(c.ref_tau_max + 1.5)
+                       .at[5].set(jnp.nan))
+    # count is jittable (the in-graph diagnostic form)
+    assert int(jax.jit(flux_sanity_count)(bad)) == 2
+    with pytest.raises(ValueError, match="wind stress too strong"):
+        check_flux_sanity(bad)
