@@ -41,13 +41,17 @@ class _Version(NamedTuple):
     z0t_coef: float
     z0t_pow: float
     beta0: float        # gustiness parameter: 1.25 (3.0) vs 1.2 (3.6)
+    visc_at_tzu: bool   # air viscosity at first-guess t_zu (3.6) or t_zt (3.0)
 
 
 _VERSIONS = {
     # z0t laws: COARE3.0 eq.28 / COARE3.6 Fairall-2016 private comm.
     # Gustiness beta: mod_blk_coare3p0.f90:47 vs mod_blk_coare3p6.f90:62.
-    "coare3p0": _Version(charn_coare3p0, 1.1e-4, 5.5e-5, 0.6, 1.25),
-    "coare3p6": _Version(charn_coare3p6, 1.6e-4, 5.8e-5, 0.72, 1.2),
+    # Viscosity argument: 3.0 evaluates visc_air at t_zt
+    # (mod_blk_coare3p0.f90:238), 3.6 at the first-guess t_zu
+    # (mod_blk_coare3p6.f90:294) — a real inter-version quirk.
+    "coare3p0": _Version(charn_coare3p0, 1.1e-4, 5.5e-5, 0.6, 1.25, False),
+    "coare3p6": _Version(charn_coare3p6, 1.6e-4, 5.8e-5, 0.72, 1.2, True),
 }
 
 
@@ -116,7 +120,7 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
     t_zu, q_zu, Ub = fg.t_zu, fg.q_zu, fg.Ubzu
     z0 = fg.z0
     log_z0 = jnp.log(z0)
-    nu_a = visc_air(t_zu)
+    nu_a = visc_air(t_zu) if ver.visc_at_tzu else visc_air(t_zt)
 
     dt = nonzero_delta(t_zu - T_s, 1.0e-9)
     dq = nonzero_delta(q_zu - q_s, 1.0e-12)

@@ -89,6 +89,9 @@ def test_cpp_example_builds_and_runs():
                          env=env, capture_output=True, text=True,
                          timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
-    # COARE3.0 unstable-point golden (doc/ex_ab.dat) appears in the output
-    assert "-15.15451" in res.stdout
-    assert "-81.38467" in res.stdout
+    # COARE3.0 unstable-point golden appears in the output.  NB: these are
+    # the *current-reference-semantics* values (visc_air at t_zt,
+    # mod_blk_coare3p0.f90:237); doc/ex_ab.dat prints -15.15451/-81.38467
+    # because it predates that change (see tests/test_golden_ocean.py).
+    assert "-15.15530" in res.stdout
+    assert "-81.38902" in res.stdout

@@ -18,16 +18,19 @@ def _inputs():
 
 
 def test_aerobulk_model_golden():
-    """Matches doc/ex_ab.dat through the compatibility entry point."""
+    """Matches the reference example through the compatibility entry point.
+    Values are the current-reference-semantics COARE3.0 outputs (visc_air
+    at t_zt, mod_blk_coare3p0.f90:237); doc/ex_ab.dat predates that change
+    (see tests/test_golden_ocean.py staleness note)."""
     QL, QH, Tx, Ty, E, Ts = aerobulk_model(
         1, 1, "coare3p0", 2.0, 10.0, **_inputs(), Niter=50,
         l_use_skin=True, rad_sw=jnp.zeros(2), rad_lw=jnp.full((2,), 350.0))
-    np.testing.assert_allclose(np.asarray(QH), [-15.15451, 17.84016],
+    np.testing.assert_allclose(np.asarray(QH), [-15.155299, 17.835405],
                                rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(QL), [-81.38467, -50.83000],
+    np.testing.assert_allclose(np.asarray(QL), [-81.389019, -50.815788],
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(Ts) - 273.15,
-                               [21.72197, 21.75757], atol=2e-5)
+                               [21.721964, 21.757541], atol=2e-5)
 
 
 def test_aerobulk_model_state_lifecycle():
