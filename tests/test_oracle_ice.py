@@ -1,0 +1,240 @@
+"""Ice-family parity oracles: vectorized JAX vs literal scalar Fortran
+transcriptions (tests/oracle/ice.py) for all six computable ice schemes
+and the form-drag closure family (VERDICT round-1 item 2).
+
+Same methodology as test_oracle_ocean.py: scalar fp64 control-flow ports
+matched at rtol <= 1e-12 over randomized Arctic-regime inputs with branch
+coverage asserted.
+
+Known deliberate deviations (documented in the implementation modules,
+reproduced identically in the oracle so they stay pinned):
+  * TURB_ICE_BEST reads ``sqrtCdn10`` uninitialized on its first
+    iteration (mod_blk_ice_best.f90:180 vs allocation at :120) — both the
+    implementation and the oracle initialize it to sqrt(Cd) of the first
+    guess instead of relying on undefined memory.
+  * TURB_ICE_LG15_IO's water side reads uninitialized neutral skin
+    coefficients (mod_blk_ice_lg15_io.f90:292); the rebuild defines them
+    from the fixed open-water roughness — its ice side equals plain LG15
+    and is covered here.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aerobulk_tpu import constants as c
+from aerobulk_tpu.ice import (cdn10_f_lu12, cdn10_f_lu13, cdn_f_lg15,
+                              cdn_f_lg15_light, cdn_f_lu12_eq36,
+                              rough_leng_m, rough_leng_tq, turb_ice_an05,
+                              turb_ice_best, turb_ice_easy, turb_ice_lg15,
+                              turb_ice_lu12, turb_ice_nemo)
+from aerobulk_tpu.stability import psi_h_ice, psi_m_ice
+
+from oracle import HITS, reset_hits
+from oracle import ice as oic
+from oracle import phymbl as oph
+
+
+def arctic_inputs(n, seed):
+    """Randomized ice-regime forcing: polar-night cold to melt season,
+    calm (sub-floor) to gale winds, full ice-concentration range incl.
+    the 0 and 1 corners."""
+    rng = np.random.default_rng(seed)
+    Ts_i = 228.0 + 45.0 * rng.random(n)                  # 228-273 K
+
+    u = rng.random(n)
+    dT = np.where(u < 0.6, rng.normal(0.0, 3.0, n),
+                  np.where(u < 0.8, 3.0 + 12.0 * rng.random(n),
+                           -(3.0 + 12.0 * rng.random(n))))
+    t_zt = Ts_i + dT
+
+    w = rng.random(n)
+    wind = np.where(w < 0.1, 0.01 + 0.25 * rng.random(n),   # sub-floor calm
+                    np.where(w < 0.85, 0.3 + 14.0 * rng.random(n),
+                             15.0 + 15.0 * rng.random(n)))
+
+    slp = 96500.0 + 7000.0 * rng.random(n)
+    rh = 0.05 + 0.93 * rng.random(n)
+    q_zt = np.array([rh[i] * oph.q_sat(t_zt[i], slp[i], l_ice=True)
+                     for i in range(n)])
+    qs_i = np.array([oph.q_sat(Ts_i[i], slp[i], l_ice=True)
+                     for i in range(n)])
+
+    frice = rng.random(n)
+    frice[:2] = [0.0, 1.0]                               # exact corners
+    return dict(Ts_i=Ts_i, t_zt=t_zt, q_zt=q_zt, qs_i=qs_i, wind=wind,
+                slp=slp, frice=frice)
+
+
+ICE_KEYS = ("Cd", "Ch", "Ce", "t_zu", "q_zu", "Ubzu", "CdN", "ChN", "CeN",
+            "z0", "u_star", "L", "UN10")
+
+
+def compare(res, rows, keys=ICE_KEYS, rtol=1e-12, atol=None, label=""):
+    atol = atol or {}
+    for k in keys:
+        got = np.asarray(getattr(res, k), np.float64)
+        exp = np.array([row[k] for row in rows], np.float64)
+        np.testing.assert_allclose(got, exp, rtol=rtol,
+                                   atol=atol.get(k, 0.0),
+                                   err_msg=f"{label}:{k}")
+
+
+@pytest.mark.parametrize("zt,zu,n,seed", [
+    (2.0, 10.0, 1200, 101),
+    (10.0, 10.0, 600, 102),
+])
+def test_oracle_ice_an05(zt, zu, n, seed):
+    f = arctic_inputs(n, seed)
+    reset_hits()
+    rows = [oic.turb_ice_an05_sc(zt, zu, f["Ts_i"][i], f["t_zt"][i],
+                                 f["qs_i"][i], f["q_zt"][i], f["wind"][i],
+                                 niter=5) for i in range(n)]
+    res = turb_ice_an05(zt, zu, jnp.asarray(f["Ts_i"]),
+                        jnp.asarray(f["t_zt"]), jnp.asarray(f["qs_i"]),
+                        jnp.asarray(f["q_zt"]), jnp.asarray(f["wind"]),
+                        niter=5)
+    compare(res, rows, atol={"L": 1e-9}, label="an05")
+    # NB: the smooth regime (Re* <= 0.135) is structurally unreachable
+    # from inside the AN05 loop — Eq. 19 gives Re* = us*z0/nu =
+    # 0.135 + us*(form term)/nu > 0.135 for any us > 0.  It is covered
+    # with arbitrary z0 in test_oracle_an05_roughness_and_ice_psi.
+    for key in ("an05_transition", "an05_rough", "an05_zeta_cap"):
+        assert HITS[key] > 0, (key, dict(HITS))
+
+
+@pytest.mark.parametrize("zt,zu,n,seed", [
+    (2.0, 10.0, 1200, 111),
+    (10.0, 10.0, 600, 112),
+])
+def test_oracle_ice_easy(zt, zu, n, seed):
+    f = arctic_inputs(n, seed)
+    reset_hits()
+    rows = [oic.turb_ice_easy_sc(zt, zu, f["Ts_i"][i], f["t_zt"][i],
+                                 f["qs_i"][i], f["q_zt"][i], f["wind"][i],
+                                 CdN=1.4e-3, ChN=1.4e-3, CeN=1.4e-3,
+                                 niter=5) for i in range(n)]
+    res = turb_ice_easy(zt, zu, jnp.asarray(f["Ts_i"]),
+                        jnp.asarray(f["t_zt"]), jnp.asarray(f["qs_i"]),
+                        jnp.asarray(f["q_zt"]), jnp.asarray(f["wind"]),
+                        CdN=1.4e-3, ChN=1.4e-3, CeN=1.4e-3, niter=5)
+    compare(res, rows, atol={"L": 1e-9}, label="easy")
+    assert HITS["easy_zeta_cap"] > 0
+    assert HITS["easy_cd_cap"] > 0
+
+
+@pytest.mark.parametrize("zt,zu,n,seed", [
+    (2.0, 10.0, 1200, 121),
+    (10.0, 10.0, 600, 122),
+])
+def test_oracle_ice_lg15(zt, zu, n, seed):
+    f = arctic_inputs(n, seed)
+    reset_hits()
+    rows = [oic.turb_ice_lg15_sc(zt, zu, f["Ts_i"][i], f["t_zt"][i],
+                                 f["qs_i"][i], f["q_zt"][i], f["wind"][i],
+                                 f["frice"][i], niter=5)
+            for i in range(n)]
+    res = turb_ice_lg15(zt, zu, jnp.asarray(f["Ts_i"]),
+                        jnp.asarray(f["t_zt"]), jnp.asarray(f["qs_i"]),
+                        jnp.asarray(f["q_zt"]), jnp.asarray(f["wind"]),
+                        jnp.asarray(f["frice"]), niter=5)
+    compare(res, rows, atol={"L": 1e-9}, label="lg15")
+    assert HITS["louis_stable"] > 0 and HITS["louis_unstable"] > 0
+
+
+@pytest.mark.parametrize("zt,zu,n,seed", [
+    (2.0, 10.0, 1200, 131),
+    (10.0, 10.0, 600, 132),
+])
+def test_oracle_ice_best(zt, zu, n, seed):
+    f = arctic_inputs(n, seed)
+    reset_hits()
+    rows = [oic.turb_ice_best_sc(zt, zu, f["Ts_i"][i], f["t_zt"][i],
+                                 f["qs_i"][i], f["q_zt"][i], f["wind"][i],
+                                 niter=5) for i in range(n)]
+    res = turb_ice_best(zt, zu, jnp.asarray(f["Ts_i"]),
+                        jnp.asarray(f["t_zt"]), jnp.asarray(f["qs_i"]),
+                        jnp.asarray(f["q_zt"]), jnp.asarray(f["wind"]),
+                        niter=5)
+    compare(res, rows, atol={"L": 1e-9}, label="best")
+    assert HITS["best_zeta_cap"] > 0
+
+
+def test_oracle_ice_lu12_and_nemo():
+    n = 1000
+    f = arctic_inputs(n, 141)
+    rows12 = [oic.turb_ice_lu12_sc(2.0, 10.0, f["Ts_i"][i], f["t_zt"][i],
+                                   f["qs_i"][i], f["q_zt"][i],
+                                   f["wind"][i], f["frice"][i])
+              for i in range(n)]
+    res12 = turb_ice_lu12(2.0, 10.0, jnp.asarray(f["Ts_i"]),
+                          jnp.asarray(f["t_zt"]), jnp.asarray(f["qs_i"]),
+                          jnp.asarray(f["q_zt"]), jnp.asarray(f["wind"]),
+                          jnp.asarray(f["frice"]))
+    compare(res12, rows12, atol={"L": 1e-9}, label="lu12")
+
+    rows_n = [oic.turb_ice_nemo_sc(2.0, 10.0, f["Ts_i"][i], f["t_zt"][i],
+                                   f["qs_i"][i], f["q_zt"][i],
+                                   f["wind"][i]) for i in range(n)]
+    res_n = turb_ice_nemo(2.0, 10.0, jnp.asarray(f["Ts_i"]),
+                          jnp.asarray(f["t_zt"]), jnp.asarray(f["qs_i"]),
+                          jnp.asarray(f["q_zt"]), jnp.asarray(f["wind"]))
+    compare(res_n, rows_n, atol={"L": 1e-9}, label="nemo")
+
+
+def test_oracle_form_drag_closures():
+    """All five CdN_f closures vs their scalar ports, full A in [0, 1]."""
+    rng = np.random.default_rng(151)
+    n = 2000
+    A = np.concatenate([[0.0, 1.0, 0.5], rng.random(n - 3)])
+    z0w = 10.0 ** rng.uniform(-5, -2, n)
+    z0i = 10.0 ** rng.uniform(-5, -2, n)
+    zu = 10.0
+
+    pairs = [
+        (cdn10_f_lu13(jnp.asarray(A)),
+         [oic.cdn10_f_lu13_sc(A[i]) for i in range(n)]),
+        (cdn_f_lg15_light(zu, jnp.asarray(A), jnp.asarray(z0w)),
+         [oic.cdn_f_lg15_light_sc(zu, A[i], z0w[i]) for i in range(n)]),
+        (cdn10_f_lu12(jnp.asarray(A), jnp.asarray(z0w)),
+         [oic.cdn10_f_lu12_sc(A[i], z0w[i]) for i in range(n)]),
+        (cdn_f_lu12_eq36(zu, jnp.asarray(A)),
+         [oic.cdn_f_lu12_eq36_sc(zu, A[i]) for i in range(n)]),
+        (cdn_f_lg15(zu, jnp.asarray(A), jnp.asarray(z0i)),
+         [oic.cdn_f_lg15_sc(zu, A[i], z0i[i]) for i in range(n)]),
+    ]
+    for j, (got, exp) in enumerate(pairs):
+        np.testing.assert_allclose(np.asarray(got), np.array(exp),
+                                   rtol=1e-12, err_msg=f"closure[{j}]")
+
+
+def test_oracle_an05_roughness_and_ice_psi():
+    rng = np.random.default_rng(161)
+    n = 2000
+    us = np.concatenate([[1e-10, 0.18], 1.2 * rng.random(n - 2)])
+    nua = 1.2e-5 + 0.4e-5 * rng.random(n)
+    z0 = 10.0 ** rng.uniform(-6, -2, n)
+    zeta = np.concatenate([[0.0], rng.uniform(-30, 30, n - 1)])
+
+    got = np.asarray(rough_leng_m(jnp.asarray(us), jnp.asarray(nua)))
+    exp = np.array([oic.rough_leng_m_sc(us[i], nua[i]) for i in range(n)])
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+    reset_hits()
+    got_t, got_q = rough_leng_tq(jnp.asarray(z0), jnp.asarray(us),
+                                 jnp.asarray(nua))
+    exp_tq = np.array([oic.rough_leng_tq_sc(z0[i], us[i], nua[i])
+                       for i in range(n)])
+    np.testing.assert_allclose(np.asarray(got_t), exp_tq[:, 0], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_q), exp_tq[:, 1], rtol=1e-12)
+    for key in ("an05_smooth", "an05_transition", "an05_rough"):
+        assert HITS[key] > 0
+
+    got_m = np.asarray(psi_m_ice(jnp.asarray(zeta)))
+    got_h = np.asarray(psi_h_ice(jnp.asarray(zeta)))
+    exp_m = np.array([oic.psi_m_ice_sc(z) for z in zeta])
+    exp_h = np.array([oic.psi_h_ice_sc(z) for z in zeta])
+    np.testing.assert_allclose(got_m, exp_m, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(got_h, exp_h, rtol=1e-12, atol=1e-14)
