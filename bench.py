@@ -5,10 +5,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "points/s", "vs_baseline": N}
 
 The reference publishes no performance numbers (BASELINE.md), so
-``vs_baseline`` is reported against a measured single-core CPU estimate of
-the reference workload's arithmetic (recorded in BASELINE_CPU_POINTS_S
-below, conservative upper bound for the Fortran loop nest at nb_iter=5);
-the true baseline remains "none published".
+``vs_baseline`` is reported against a MEASURED single-core CPU baseline:
+bench_baseline/coare36_skin_baseline.c, a C transcription of the
+reference's per-point COARE3.6+skin arithmetic (hot loop
+mod_blk_coare3p6.f90:302-383 + CS/WL + BULK_FORMULA), compiled and run on
+this machine (see BASELINE_CPU_POINTS_S note below).  The true published
+baseline remains "none".
 
 Timing methodology: the TPU here sits behind a remote tunnel with a fixed
 per-dispatch/sync cost of tens of ms that dwarfs small workloads, and
@@ -28,10 +30,19 @@ import numpy as np
 from aerobulk_tpu.profiling import slope_time as _slope_time
 
 
-# Conservative estimate of the reference Fortran throughput for the same
-# workload (single core, -O3, ~1e3 flops+transcendentals per point at
-# nb_iter=5): ~2e6 points/s.  The reference itself publishes nothing.
-BASELINE_CPU_POINTS_S = 2.0e6
+# MEASURED single-core CPU throughput of the reference's COARE3.6+skin
+# point loop (bench_baseline/coare36_skin_baseline.c — a C transcription
+# of the Fortran arithmetic; gfortran absent from this image).  On this
+# host (Intel Xeon @ 2.10 GHz, 2026-08):
+#   cc -O3                       (the reference's own flag set): ~1.28e5
+#   cc -O3 -march=native                                       : ~1.19e5
+#   cc -O3 -march=native -ffast-math  (semantics-changing)     : ~1.75e5
+# points/s at nb_iter=5 (median of 3, idle host; libm pow/log/atan chain
+# dominates — ~500 libm calls per point).  We take the BEST observed
+# (fast-math) number as the baseline so vs_baseline is conservative.
+# Reproduce: cd bench_baseline && cc -O3 -march=native -ffast-math \
+#   -o b coare36_skin_baseline.c -lm && ./b 200000 5
+BASELINE_CPU_POINTS_S = 1.75e5
 
 NY, NX = 721, 1440          # 0.25-degree global grid
 NITER = 5                   # reference default nb_iter
@@ -48,6 +59,64 @@ def _use_fused():
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
+
+
+def parity_check(cfg, args, state, shape, dtype):
+    """On-device numeric parity gate: run the fused Pallas kernel and the
+    plain-XLA jit path on the SAME inputs on the live device and report
+    max / median / p99 relative error over the flux outputs (VERDICT
+    round-1 item 5 — previously the real Mosaic kernel's fp32 deviation
+    was only a prose claim checked in interpret mode on CPU).
+
+    Returns a dict of parity fields for the bench JSON line."""
+    import jax
+    import numpy as np
+    from aerobulk_tpu.api import flux_step
+    from aerobulk_tpu.kernels.fused import fused_flux_step
+
+    sst, t, q, u, v, slp, rsw, rlw, lon = args
+
+    @jax.jit
+    def run_jit(st):
+        out, ns = flux_step(cfg, sst, t, q, u, v, slp, rad_sw=rsw,
+                            rad_lw=rlw, isecday_utc=43200, lon=lon,
+                            skin_state=st)
+        return (out.QL, out.QH, out.Tau_x, out.Tau_y, out.Evap,
+                out.T_s), ns
+
+    @jax.jit
+    def run_fused(st):
+        outs, ns = fused_flux_step(cfg, sst, t, q, u, v, slp, rsw, rlw,
+                                   lon=lon, isecday_utc=43200,
+                                   skin_state=st)
+        return outs, ns
+
+    ref, _ = run_jit(state)
+    got, _ = run_fused(state)
+
+    names = ("QL", "QH", "Tau_x", "Tau_y", "Evap", "T_s")
+    rels = []
+    per_var = {}
+    for name, a, b in zip(names, got, ref):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = np.maximum(np.abs(b), 1e-3 * float(np.median(np.abs(b))
+                                                   + 1e-30))
+        r = np.abs(a - b) / scale
+        per_var[name] = float(np.max(r))
+        rels.append(r.ravel())
+    rel = np.concatenate(rels)
+    fields = {
+        "parity_median_rel": float(np.median(rel)),
+        "parity_p99_rel": float(np.percentile(rel, 99)),
+        "parity_max_rel": float(np.max(rel)),
+        "parity_max_by_var": {k: round(v, 8) for k, v in per_var.items()},
+        # fp32 gate: median must stay at fp32-roundoff scale; isolated
+        # branch-threshold points may diverge (documented, kernels/fused.py)
+        "parity_ok": bool(np.median(rel) < 1e-3
+                          and np.percentile(rel, 99) < 5e-2),
+    }
+    return fields
 
 
 def main():
@@ -110,14 +179,24 @@ def main():
             st, acc = steps(st, acc, jnp.float32(i) * 1e-6)
         return acc[:1, :1]
 
+    record = {
+        "metric": "coare3p6_skin_0p25deg_grid_points_per_s_per_chip",
+        "unit": "points/s",
+        "baseline_cpu_points_per_s": BASELINE_CPU_POINTS_S,
+        "baseline_provenance": ("measured: bench_baseline/"
+                                "coare36_skin_baseline.c, cc -O3 "
+                                "-march=native -ffast-math, single core, "
+                                "Intel Xeon 2.10GHz (best of 3 flag sets)"),
+    }
+
+    if fused and "--check" in sys.argv:
+        record.update(parity_check(cfg, args, state, shape, dtype))
+
     dt = _slope_time(chained) / REPS
     pts_per_s = NY * NX / dt
-    print(json.dumps({
-        "metric": "coare3p6_skin_0p25deg_grid_points_per_s_per_chip",
-        "value": round(pts_per_s, 1),
-        "unit": "points/s",
-        "vs_baseline": round(pts_per_s / BASELINE_CPU_POINTS_S, 2),
-    }))
+    record["value"] = round(pts_per_s, 1)
+    record["vs_baseline"] = round(pts_per_s / BASELINE_CPU_POINTS_S, 2)
+    print(json.dumps(record))
 
 
 def _timeit_scan(step_fn, carry, reps):

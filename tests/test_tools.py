@@ -194,3 +194,42 @@ def test_flux_sanity_tau_guard():
     assert int(jax.jit(flux_sanity_count)(bad)) == 2
     with pytest.raises(ValueError, match="wind stress too strong"):
         check_flux_sanity(bad)
+
+
+def test_cpu_baseline_c_matches_oracle():
+    """The C CPU-baseline transcription (bench_baseline/) must compute the
+    same arithmetic as the scalar Fortran-semantics oracle — otherwise its
+    measured points/s would be timing the wrong work."""
+    import json as _json
+    import math
+    import subprocess
+
+    import jax
+
+    from oracle import phymbl as oph
+    from oracle import turb as otb
+    from aerobulk_tpu import constants as c
+    from aerobulk_tpu import thermo
+
+    src = "/root/repo/bench_baseline/coare36_skin_baseline.c"
+    exe = "/tmp/coare36_skin_baseline_test"
+    subprocess.run(["cc", "-O3", "-o", exe, src, "-lm"], check=True,
+                   capture_output=True)
+    out = _json.loads(subprocess.run([exe, "check"], capture_output=True,
+                                     text=True, check=True).stdout)
+
+    sst, t_abs, q, U, slp = 295.15, 293.15, 0.012, 5.0, 101000.0
+    rsw, rlw = 200.0, 350.0
+    theta = float(thermo.theta_from_z_p0_t_q(2.0, slp, t_abs, q))
+    ssq = c.rdct_qsat_salt * oph.q_sat(sst, slp)
+    res, st = otb.turb_coare_sc(
+        "coare3p6", 2.0, 10.0, sst, theta, ssq, q, U, niter=5,
+        use_cs=True, use_wl=True, Qsw=(1 - c.roce_alb0) * rsw, rad_lw=rlw,
+        slp=slp, isecday_utc=43200, lon=12.5)
+    Tau, QH, QL, _, _ = oph.bulk_formula(
+        10.0, res["T_s"], res["q_s"], res["t_zu"], res["q_zu"],
+        res["Cd"], res["Ch"], res["Ce"], U, res["Ubzu"], slp)
+
+    assert math.isclose(out["checksum"], QL + QH + Tau, rel_tol=1e-12)
+    assert math.isclose(out["theta"], theta, rel_tol=1e-14)
+    assert math.isclose(out["ssq"], ssq, rel_tol=1e-14)
