@@ -18,7 +18,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["init_distributed", "make_grid_mesh", "grid_sharding",
-           "shard_grid_inputs", "replicated", "sharded_fused_flux_step"]
+           "shard_grid_inputs", "replicated", "sharded_fused_flux_step",
+           "global_from_host_local"]
 
 
 def init_distributed(coordinator_address=None, num_processes=None,
@@ -77,6 +78,26 @@ def shard_grid_inputs(mesh: Mesh, tree):
     def put(x):
         x = jax.numpy.asarray(x)
         return jax.device_put(x, grid_sharding(mesh, x.ndim))
+    return jax.tree_util.tree_map(put, tree)
+
+
+def global_from_host_local(mesh: Mesh, tree, ndim: Optional[int] = None):
+    """Build global sharded arrays from *process-local* forcing shards.
+
+    Multi-host feed helper (docs/SCALING.md recipe): each host reads only
+    its own (y, x) slab of the forcing (e.g. its hyperslab of the NetCDF
+    file) and calls this with the local numpy arrays; the result is a
+    global ``jax.Array`` laid out by :func:`grid_sharding` whose addressable
+    shards are exactly the local data — no host ever materializes the
+    global grid, and no data moves between hosts
+    (``jax.make_array_from_process_local_data``).
+
+    On a single-process mesh this degrades to a plain sharded device_put.
+    """
+    def put(x):
+        x = np.asarray(x)
+        sh = grid_sharding(mesh, ndim if ndim is not None else x.ndim)
+        return jax.make_array_from_process_local_data(sh, x)
     return jax.tree_util.tree_map(put, tree)
 
 
