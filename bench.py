@@ -119,11 +119,23 @@ def parity_check(cfg, args, state, shape, dtype):
     return fields
 
 
+def _arg_niter():
+    """--niter N overrides the default iteration count (the reference's
+    converged test settings are 20 for series/toy and 50 for ex_ab)."""
+    for i, a in enumerate(sys.argv):
+        if a == "--niter" and i + 1 < len(sys.argv):
+            return int(sys.argv[i + 1])
+        if a.startswith("--niter="):
+            return int(a.split("=", 1)[1])
+    return NITER
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from aerobulk_tpu.api import AeroBulkConfig, flux_step, init_skin_state
 
+    niter = _arg_niter()
     dtype = jnp.float32
     shape = (NY, NX)
     rng = np.random.default_rng(42)
@@ -137,7 +149,7 @@ def main():
     rlw = jnp.asarray(250.0 + 150.0 * rng.random(shape), dtype)
     lon = jnp.asarray(360.0 * rng.random(shape), dtype)
 
-    cfg = AeroBulkConfig(algo="coare3p6", zt=2.0, zu=10.0, niter=NITER,
+    cfg = AeroBulkConfig(algo="coare3p6", zt=2.0, zu=10.0, niter=niter,
                          use_skin=True)
     state = init_skin_state(cfg, shape, dtype)
 
@@ -182,6 +194,7 @@ def main():
     record = {
         "metric": "coare3p6_skin_0p25deg_grid_points_per_s_per_chip",
         "unit": "points/s",
+        "niter": niter,
         "baseline_cpu_points_per_s": BASELINE_CPU_POINTS_S,
         "baseline_provenance": ("measured: bench_baseline/"
                                 "coare36_skin_baseline.c, cc -O3 "
@@ -374,8 +387,74 @@ def main_all():
                       "vs_baseline": round(pts / BASELINE_CPU_POINTS_S, 2)}))
 
 
+def main_bf16():
+    """bf16 speed path for the stateless workloads (BASELINE's "fp32/bf16
+    speed paths measured separately") + the precision budget vs fp32.
+
+    bf16 is only offered for the *stateless* algorithms: the skin schemes
+    integrate O(1e6 J/m^2) accumulators across time steps, which bf16's
+    8-bit mantissa cannot carry (documented budget, docs/SCALING.md)."""
+    import jax
+    import jax.numpy as jnp
+    from aerobulk_tpu.api import AeroBulkConfig, run_series
+
+    for name, algo, nt, shape in (
+            ("ncar_small_grid_bf16_points_per_s", "ncar", 512, (32, 128)),
+            ("coare3p0_bulk_1deg_bf16_points_per_s", "coare3p0", 32,
+             (181, 360))):
+        f32 = _mk_inputs((nt,) + shape, jnp.float32, seed=7)
+        names = (("sst", "sst"), ("t_zt", "t"), ("hum_zt", "q"),
+                 ("U_zu", "u"), ("V_zu", "v"), ("slp", "slp"))
+        cfg = AeroBulkConfig(algo=algo, niter=NITER, use_skin=False)
+
+        def mk_run(dtype):
+            forcing = {k: f32[n].astype(dtype) for k, n in names}
+
+            @jax.jit
+            def run(salt, carry):
+                fc = dict(forcing)
+                fc["sst"] = fc["sst"] + salt
+                out, _ = run_series(cfg, fc, batch_records=True)
+                return (out.QL.mean() + out.QH.mean() + out.Tau_x.mean()
+                        + carry * 1e-30)
+
+            @jax.jit
+            def outputs():
+                out, _ = run_series(cfg, forcing, batch_records=True)
+                return out.QL, out.QH, out.Tau_x
+            return run, outputs
+
+        run16, out16 = mk_run(jnp.bfloat16)
+        _, out32 = mk_run(jnp.float32)
+
+        # precision budget: bf16 vs fp32 relative error on the fluxes
+        a = [np.asarray(x, np.float64) for x in out16()]
+        b = [np.asarray(x, np.float64) for x in out32()]
+        rel = np.concatenate([
+            (np.abs(x - y)
+             / np.maximum(np.abs(y), 1e-3 * np.median(np.abs(y)))).ravel()
+            for x, y in zip(a, b)])
+
+        def chained(m):
+            c = jnp.zeros((), jnp.bfloat16)
+            for i in range(m):
+                c = run16(c * 1e-30 + jnp.bfloat16(i) * 1e-6, c)
+            return c
+
+        dt_s = _slope_time(chained)
+        pts = nt * shape[0] * shape[1] / dt_s
+        print(json.dumps({
+            "metric": name, "value": round(pts, 1), "unit": "points/s",
+            "vs_baseline": round(pts / BASELINE_CPU_POINTS_S, 2),
+            "bf16_vs_fp32_median_rel": float(np.median(rel)),
+            "bf16_vs_fp32_p99_rel": float(np.percentile(rel, 99)),
+        }))
+
+
 if __name__ == "__main__":
     if "--all" in sys.argv:
         main_all()
+    elif "--bf16" in sys.argv:
+        main_bf16()
     else:
         main()

@@ -233,3 +233,21 @@ def test_cpu_baseline_c_matches_oracle():
     assert math.isclose(out["checksum"], QL + QH + Tau, rel_tol=1e-12)
     assert math.isclose(out["theta"], theta, rel_tol=1e-14)
     assert math.isclose(out["ssq"], ssq, rel_tol=1e-14)
+
+
+def test_roofline_census():
+    """Roofline op census: exact jaxpr counts of the elementwise step
+    (aerobulk_tpu/roofline.py).  ECMWF must cost more per point than
+    COARE3.6 (the measured throughput gap is op count, docs/SCALING.md),
+    and the census must scale with niter."""
+    from aerobulk_tpu.roofline import flux_step_counts
+
+    c36 = flux_step_counts(algo="coare3p6", use_skin=True, niter=5)
+    cec = flux_step_counts(algo="ecmwf", use_skin=True, niter=5)
+    c36_20 = flux_step_counts(algo="coare3p6", use_skin=True, niter=20)
+
+    assert sum(cec.values()) > 1.3 * sum(c36.values())
+    # iteration body dominates: niter=20 is ~3-4x the niter=5 census
+    assert 2.5 < sum(c36_20.values()) / sum(c36.values()) < 4.5
+    for cls in ("exp", "log", "pow", "sqrt", "div", "cheap"):
+        assert c36[cls] > 0, cls
