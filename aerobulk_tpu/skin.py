@@ -190,7 +190,8 @@ def wl_coare(Qsw, Qnsol, Tau, sst, lon, isecday_utc, state: SkinState,
     destroy = destroy | ran_dry
     built = active & (qac > 0.0)
 
-    dTwl_new = cd2 * jnp.maximum(qac, 1.0e-30) ** 1.5 / tac
+    qac_pos = jnp.maximum(qac, 1.0e-30)
+    dTwl_new = cd2 * (qac_pos * jnp.sqrt(qac_pos)) / tac   # qac**1.5
     flg = step(gdept - Hwl)          # depth correction to the bulk-SST depth
     dTwl_new = dTwl_new * (flg + (1.0 - flg) * gdept / Hwl)
 

@@ -34,8 +34,14 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 def psi_m_coare(zeta):
-    """COARE psi_m (mod_common_coare.f90:217-254)."""
-    phi_m = jnp.abs(1.0 - 15.0 * zeta) ** 0.25
+    """COARE psi_m (mod_common_coare.f90:217-254).
+
+    ``|1-15z|**0.25`` is strength-reduced to sqrt(sqrt(.)) — two
+    correctly-rounded sqrts instead of a generic pow (the VPU's most
+    expensive primitive, docs/ROOFLINE.json); agreement with the scalar
+    oracle's libm pow is ulp-level (asserted at 1e-12 by the oracle
+    tests)."""
+    phi_m = jnp.sqrt(jnp.sqrt(jnp.abs(1.0 - 15.0 * zeta)))
     psi_k = (2.0 * jnp.log((1.0 + phi_m) / 2.0)
              + jnp.log((1.0 + phi_m * phi_m) / 2.0)
              - 2.0 * arctan(phi_m) + 0.5 * rpi)
@@ -53,8 +59,12 @@ def psi_m_coare(zeta):
 
 
 def psi_h_coare(zeta):
-    """COARE psi_h (mod_common_coare.f90:305-344)."""
-    phi_h = jnp.abs(1.0 - 15.0 * zeta) ** 0.5
+    """COARE psi_h (mod_common_coare.f90:305-344).
+
+    ``**0.5`` -> sqrt and ``**1.5`` -> x*sqrt(x): same strength
+    reduction as :func:`psi_m_coare` (ulp-level vs libm pow, gated by
+    the 1e-12 oracle tests)."""
+    phi_h = jnp.sqrt(jnp.abs(1.0 - 15.0 * zeta))
     psi_k = 2.0 * jnp.log((1.0 + phi_h) / 2.0)
     phi_c = jnp.abs(1.0 - 34.15 * zeta) ** 0.3333
     psi_c = (1.5 * jnp.log((1.0 + phi_c + phi_c * phi_c) / 3.0)
@@ -64,8 +74,10 @@ def psi_h_coare(zeta):
     f = f / (1.0 + f)
     cc = jnp.minimum(50.0, 0.35 * zeta)
     stb = step(zeta)
+    x32 = jnp.abs(1.0 + 2.0 * zeta / 3.0)
+    x32 = x32 * jnp.sqrt(x32)
     return ((1.0 - stb) * ((1.0 - f) * psi_k + f * psi_c)
-            - stb * (jnp.abs(1.0 + 2.0 * zeta / 3.0) ** 1.5
+            - stb * (x32
                      + 0.6667 * (zeta - 14.28) / jnp.exp(cc) + 8.525))
 
 

@@ -182,17 +182,28 @@ def ri_bulk(z, sst, Thta, ssq, qa, ub, Ta_layer=None, qa_layer=None):
 # humidity
 # ---------------------------------------------------------------------------
 
+_LOG2_10 = math.log2(10.0)
+
+
+def _exp10(x):
+    """10**x as exp2(x * log2(10)) — one hardware exp2 instead of a
+    generic pow (the costliest VPU primitive, docs/ROOFLINE.json).
+    Ulp-level identical to libm pow(10, x); the 1e-12 scalar-oracle
+    tests gate the substitution."""
+    return jnp.exp2(x * _LOG2_10)
+
+
 def e_sat(Ta):
     """Saturation vapour pressure over water [Pa], Goff 1957
     (mod_phymbl.f90:777-800).  NB: uses rt0=273.15, as the reference does."""
     ta = jnp.maximum(Ta, 180.0)
     ztmp = c.rt0 / ta
-    return 100.0 * (10.0 ** (
+    return 100.0 * _exp10(
         10.79574 * (1.0 - ztmp)
         - 5.028 * jnp.log10(ta / c.rt0)
-        + 1.50475e-4 * (1.0 - 10.0 ** (-8.2969 * (ta / c.rt0 - 1.0)))
-        + 0.42873e-3 * (10.0 ** (4.76955 * (1.0 - ztmp)) - 1.0)
-        + 0.78614))
+        + 1.50475e-4 * (1.0 - _exp10(-8.2969 * (ta / c.rt0 - 1.0)))
+        + 0.42873e-3 * (_exp10(4.76955 * (1.0 - ztmp)) - 1.0)
+        + 0.78614)
 
 
 def e_sat_ice(Ta):
@@ -201,7 +212,7 @@ def e_sat_ice(Ta):
     ztmp = c.rtt0 / ta
     zle = (_rAg_i * (ztmp - 1.0) + _rBg_i * jnp.log10(ztmp)
            + _rCg_i * (1.0 - ta / c.rtt0) + _rDg_i)
-    return 100.0 * 10.0 ** zle
+    return 100.0 * _exp10(zle)
 
 
 def de_sat_dt_ice(Ta):

@@ -434,6 +434,9 @@ def main_bf16():
             (np.abs(x - y)
              / np.maximum(np.abs(y), 1e-3 * np.median(np.abs(y)))).ravel()
             for x, y in zip(a, b)])
+        nan_frac = float(np.mean(~np.isfinite(rel)))
+        rel = rel[np.isfinite(rel)]   # NaNs counted separately (the Goff
+        #                               10**x chain overflows bf16)
 
         def chained(m):
             c = jnp.zeros((), jnp.bfloat16)
@@ -448,6 +451,7 @@ def main_bf16():
             "vs_baseline": round(pts / BASELINE_CPU_POINTS_S, 2),
             "bf16_vs_fp32_median_rel": float(np.median(rel)),
             "bf16_vs_fp32_p99_rel": float(np.percentile(rel, 99)),
+            "bf16_nonfinite_frac": nan_frac,
         }))
 
 
