@@ -791,3 +791,72 @@ def turb_andreas_sc(zt, zu, psst, t_zt, pssq, q_zt, U_zu, niter=5):
                 u_star=u_star, L=zu / zeta_u,
                 UN10=un10_from_ustar(zu, pUbzu, u_star,
                                      psi_m_andreas_sc(zeta_u)))
+
+
+# ---------------------------------------------------------------------------
+# TURB_NEUTRAL_10M
+# ---------------------------------------------------------------------------
+
+_RNU0_AIR = 1.5e-5
+
+
+def turb_neutral_10m_sc(calgo, U_N10, niter=5):
+    """TURB_NEUTRAL_10M (mod_blk_neutral_10m.f90:33-209), one point.
+    Returns (CdN10, ChN10, CeN10, z0).  The reference's 'andreas' branch
+    STOPs ('YET TO BE CODED'); the rebuild implements it from the
+    u*(UN10) closure + LKB — transcribed here from that documented
+    extension so it stays pinned."""
+    if calgo in ("coare3p0", "coare3p6", "ecmwf"):
+        Ub = max(U_N10, 0.1)
+        CdN10 = 8.575e-5 * Ub + 0.657e-3
+        for _ in range(niter):
+            us = Ub * math.sqrt(CdN10)
+            if calgo == "coare3p6":
+                ch = charn_coare3p6_sc(Ub)
+            elif calgo == "coare3p0":
+                ch = charn_coare3p0_sc(Ub)
+            else:
+                ch = _CHARN0_ECMWF
+            z0 = ch * us * us / c.grav + 0.11 * _RNU0_AIR / us
+            lg = math.log(10.0 / z0)
+            CdN10 = c.vkarmn2 / (lg * lg)
+        if calgo == "coare3p0":
+            rer = z0 * us / _RNU0_AIR
+            z0t = min(1.1e-4, 5.5e-5 * rer ** (-0.6))
+            z0q = z0t
+        elif calgo == "coare3p6":
+            rer = z0 * us / _RNU0_AIR
+            z0t = min(1.6e-4, 5.8e-5 * rer ** (-0.72))
+            z0q = z0t
+        else:
+            z0t = 0.40 * _RNU0_AIR / us
+            z0q = 0.62 * _RNU0_AIR / us
+        ChN10 = c.vkarmn2 / (lg * math.log(10.0 / z0t))
+        CeN10 = c.vkarmn2 / (lg * math.log(10.0 / z0q))
+        return CdN10, ChN10, CeN10, z0
+
+    if calgo == "ncar":
+        from .turb import cd_n10_ncar_sc
+        Ub = max(U_N10, 0.5)
+        CdN10 = cd_n10_ncar_sc(Ub)
+        s = math.sqrt(CdN10)
+        ChN10 = max(1.0e-3 * s * (18.0 * 0.0 + 32.7 * 1.0), c.Cx_min)
+        CeN10 = max(1.0e-3 * (34.6 * s), c.Cx_min)
+        z0 = min(max(z0_from_cd(10.0, CdN10), 0.0001), 0.1)
+        return CdN10, ChN10, CeN10, z0
+
+    if calgo == "andreas":
+        Ub = max(U_N10, 0.5)
+        us = u_star_andreas_sc(Ub)
+        r = us / Ub
+        CdN10 = r * r
+        z0 = z0_from_cd(10.0, CdN10)
+        rer = z0 * us / _RNU0_AIR
+        z0t = z0tq_lkb(1, rer, z0)
+        z0q = z0tq_lkb(2, rer, z0)
+        lg = math.log(10.0 / z0)
+        ChN10 = c.vkarmn2 / (lg * math.log(10.0 / z0t))
+        CeN10 = c.vkarmn2 / (lg * math.log(10.0 / z0q))
+        return CdN10, ChN10, CeN10, z0
+
+    raise ValueError(calgo)

@@ -414,3 +414,23 @@ def test_oracle_wl_ecmwf():
     np.testing.assert_allclose(np.asarray(new.dT_wl), exp, rtol=1e-12,
                                atol=1e-14)
     assert HITS["wl_ecmwf_warming"] > 0 and HITS["wl_ecmwf_cooling"] > 0
+
+
+@pytest.mark.parametrize("algo", ["coare3p0", "coare3p6", "ecmwf", "ncar",
+                                  "andreas"])
+def test_oracle_neutral_10m(algo):
+    """TURB_NEUTRAL_10M (mod_blk_neutral_10m.f90:33-209) vs its scalar
+    transcription, sweeping UN10 over 0.05-48 m/s incl. the 0.1/0.5 m/s
+    floors and the Charnock/z0t thresholds."""
+    from aerobulk_tpu.algos.neutral_10m import turb_neutral_10m
+
+    rng = np.random.default_rng(71)
+    u = np.concatenate([[0.05, 0.1, 0.5, 10.0, 18.0, 33.0],
+                        0.05 + 47.0 * rng.random(1200)])
+    got = turb_neutral_10m(algo, jnp.asarray(u), niter=20)
+    exp = np.array([otb.turb_neutral_10m_sc(algo, u[i], niter=20)
+                    for i in range(len(u))])
+    for j, name in enumerate(("CdN10", "ChN10", "CeN10", "z0")):
+        np.testing.assert_allclose(np.asarray(got[j], np.float64),
+                                   exp[:, j], rtol=1e-12,
+                                   err_msg=f"{algo}:{name}")
