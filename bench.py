@@ -202,7 +202,11 @@ def main():
                                 "Intel Xeon 2.10GHz (best of 3 flag sets)"),
     }
 
-    if fused and "--check" in sys.argv:
+    # On-device parity gate: DEFAULT-ON for the fused TPU path so every
+    # recorded bench line carries the fused-vs-jit parity fields
+    # (--no-check skips it, e.g. for quick perf iterations: the jit-path
+    # compile it needs adds a few minutes).
+    if fused and "--no-check" not in sys.argv:
         record.update(parity_check(cfg, args, state, shape, dtype))
 
     dt = _slope_time(chained) / REPS
@@ -311,7 +315,7 @@ def main_all():
     # Stateless algorithms -> the production path is batch_records=True:
     # the whole record batch is one vectorized call, not an nt-step scan
     # (run_series docstring).
-    def stateless_batched(name, algo, nt, shape):
+    def stateless_batched(name, algo, nt, shape, inner=8):
         import jax
         from aerobulk_tpu.api import run_series
 
@@ -323,11 +327,17 @@ def main_all():
 
         @jax.jit
         def run(salt, carry):
-            fc = dict(forcing)
-            fc["sst"] = fc["sst"] + salt      # argument-distinct dispatches
-            out, _ = run_series(cfg, fc, batch_records=True)
-            return (out.QL.mean() + out.QH.mean() + out.Tau_x.mean()
-                    + carry * 1e-30)
+            # one dispatch = `inner` serially-dependent whole-batch solves;
+            # a single solve (~ms) is too small against the ~30 ms
+            # dispatch overhead for the slope to resolve reliably.
+            def body(c, _):
+                fc = dict(forcing)
+                fc["sst"] = fc["sst"] + salt + c * 1e-30
+                out, _ = run_series(cfg, fc, batch_records=True)
+                return (out.QL.mean() + out.QH.mean()
+                        + out.Tau_x.mean() + c * 1e-30), None
+            c, _ = jax.lax.scan(body, carry, None, length=inner)
+            return c
 
         import jax.numpy as jnp
 
@@ -337,7 +347,7 @@ def main_all():
                 c = run(c * 1e-30 + jnp.float32(i) * 1e-6, c)
             return c
 
-        dt_s = _slope_time(chained)
+        dt_s = _slope_time(chained) / inner
         pts = nt * shape[0] * shape[1] / dt_s
         print(json.dumps({"metric": name, "value": round(pts, 1),
                           "unit": "points/s",
