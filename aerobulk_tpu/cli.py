@@ -139,6 +139,47 @@ def cmd_ice_toy(args):
               f"{float(out.Tau[0])*1e3:11.4f}")
 
 
+def cmd_oce_ice_toy(args):
+    """Single-point mixed ocean+ice cell comparison
+    (test_aerobulk_oce+ice.f90 behaviour): ECMWF over the leads + each of
+    the ice algorithms over the ice fraction, plus the LG15_IO
+    simultaneous ice+water solve."""
+    import jax.numpy as jnp
+    from . import thermo, constants as c
+    from .api import flux_step_mixed
+
+    shape = (1,)
+    Ts_i = jnp.full(shape, args.ts + c.rt0)
+    sst = jnp.full(shape, args.sst + c.rt0)
+    t_zt = jnp.full(shape, args.t + c.rt0)
+    slp = jnp.full(shape, args.slp * 100.0)
+    q_zt = args.rh / 100.0 * thermo.q_sat(t_zt, slp)
+    U = jnp.full(shape, args.wind)
+    V = jnp.zeros(shape)
+    frice = jnp.full(shape, args.frice)
+
+    print(f"\n zu={args.zu} m, zt={args.zt} m, Ts_ice={args.ts} C, "
+          f"SST={args.sst} C, t_zt={args.t} C, RH={args.rh}%, "
+          f"U={args.wind} m/s, A={args.frice}\n")
+    print(f" {'ice algo':>12s} {'QH_net':>9s} {'QL_net':>9s} "
+          f"{'Tau_net':>9s} {'QH_ice':>9s} {'QH_oce':>9s}  [W/m2, N/m2]")
+
+    for algo in ("ice_nemo", "ice_an05", "ice_lg15"):
+        net, oi, ow = flux_step_mixed(args.zt, args.zu, Ts_i, sst, t_zt,
+                                      q_zt, U, V, slp, frice,
+                                      ice_algo=algo, niter=args.niter)
+        print(f" {algo:>12s} {float(net.QH[0]):9.3f} "
+              f"{float(net.QL[0]):9.3f} {float(net.Tau[0]):9.5f} "
+              f"{float(oi.QH[0]):9.3f} {float(ow.QH[0]):9.3f}")
+
+    net, oi, ow = flux_step_mixed(args.zt, args.zu, Ts_i, sst, t_zt, q_zt,
+                                  U, V, slp, frice, simultaneous=True,
+                                  niter=args.niter)
+    print(f" {'lg15_io(sim)':>12s} {float(net.QH[0]):9.3f} "
+          f"{float(net.QL[0]):9.3f} {float(net.Tau[0]):9.5f} "
+          f"{float(oi.QH[0]):9.3f} {float(ow.QH[0]):9.3f}")
+
+
 def cmd_series(args):
     """Time-series run over a forcing file: ocean algorithms via the
     lax.scan driver (test_aerobulk_buoy_series_oce.x analogue) or, with
@@ -409,8 +450,8 @@ def cmd_tune(args):
 # Fortran; on this machine the bare backend would otherwise be the axon
 # TPU, which is fp32 and pays a remote compile per eager op).  ``bench``
 # and ``tune`` measure the TPU and keep the default platform.
-_CPU_FP64_CMDS = ("toy", "ice-toy", "cdnf", "cx-vs-wind", "coef-n10",
-                  "psi-stab")
+_CPU_FP64_CMDS = ("toy", "ice-toy", "oce-ice-toy", "cdnf", "cx-vs-wind",
+                  "coef-n10", "psi-stab")
 
 
 def _select_device(device: str):
@@ -465,6 +506,21 @@ def main(argv=None):
     it.add_argument("--frice", type=float, default=0.8)
     it.add_argument("--niter", type=int, default=8)
     it.set_defaults(fn=cmd_ice_toy)
+
+    oi = sub.add_parser("oce-ice-toy",
+                        help="single-point mixed ocean+ice cell "
+                             "(test_aerobulk_oce+ice.x analogue)")
+    oi.add_argument("--zu", type=float, default=10.0)
+    oi.add_argument("--zt", type=float, default=2.0)
+    oi.add_argument("--ts", type=float, default=-5.0, help="ice temp [C]")
+    oi.add_argument("--sst", type=float, default=-1.0, help="lead SST [C]")
+    oi.add_argument("--t", type=float, default=-4.0, help="air temp [C]")
+    oi.add_argument("--rh", type=float, default=85.0, help="rel hum [%]")
+    oi.add_argument("--wind", type=float, default=7.0)
+    oi.add_argument("--slp", type=float, default=1000.0)
+    oi.add_argument("--frice", type=float, default=0.7)
+    oi.add_argument("--niter", type=int, default=8)
+    oi.set_defaults(fn=cmd_oce_ice_toy)
 
     s = sub.add_parser("series", help="time-series run over a forcing file")
     s.add_argument("file", help="forcing file (.nc NetCDF3/4 or .npz)")

@@ -99,6 +99,7 @@ def _fused(cfg: AeroBulkConfig, block, interpret, args, state):
 
 
 def _mixed_kernel(zt, zu, ice_algo, ocean_algo, niter, humidity,
+                  simultaneous,
                   Ts_i, sst, t, q, u, v, slp, frice,
                   QL, QH, Tau, Evap, T_s):
     """Kernel body: one VMEM tile through the mixed ocean+ice pipeline."""
@@ -107,7 +108,7 @@ def _mixed_kernel(zt, zu, ice_algo, ocean_algo, niter, humidity,
         net, _, _ = flux_step_mixed(
             zt, zu, Ts_i[...], sst[...], t[...], q[...], u[...], v[...],
             slp[...], frice[...], ice_algo=ice_algo, ocean_algo=ocean_algo,
-            niter=niter, humidity=humidity)
+            niter=niter, humidity=humidity, simultaneous=simultaneous)
     QL[...] = net.QL
     QH[...] = net.QH
     Tau[...] = net.Tau
@@ -142,8 +143,8 @@ def _fused_mixed(statics, block, interpret, args):
 
 def fused_mixed_step(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
                      frice, ice_algo="ice_lg15", ocean_algo="ecmwf",
-                     niter=5, humidity="sh", block=(16, 512),
-                     interpret=None):
+                     niter=5, humidity="sh", simultaneous=False,
+                     block=(16, 512), interpret=None):
     """Mixed ocean+ice cell (``flux_step_mixed``) as one fused Pallas
     kernel — the ``test_aerobulk_oce+ice.f90`` workload, BASELINE
     config 5.  Stateless (no skin over ice/leads in the reference's
@@ -172,7 +173,7 @@ def fused_mixed_step(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
     args = tuple(pad(x) for x in (Ts_i, sst, t_zt, hum_zt, U_zu, V_zu,
                                   slp, frice))
     statics = (float(zt), float(zu), ice_algo, ocean_algo, int(niter),
-               humidity)
+               humidity, bool(simultaneous))
     outs = _fused_mixed(statics, (by, bx), bool(interpret), args)
     return tuple(o[:ny, :nx] for o in outs)
 

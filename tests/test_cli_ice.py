@@ -37,3 +37,14 @@ def test_cli_ice_series(tmp_path):
     assert len(back["Qlat"]) == nt
     assert np.all(np.isfinite(back["Qlat"]))
     assert np.all(np.asarray(back["Cd"]) > 1e-4)
+
+
+def test_cli_oce_ice_toy(capsys):
+    from aerobulk_tpu.cli import main
+    main(["oce-ice-toy", "--frice", "0.7", "--niter", "6"])
+    out = capsys.readouterr().out
+    assert "lg15_io(sim)" in out
+    assert "ice_nemo" in out and "ice_an05" in out and "ice_lg15" in out
+    import re
+    vals = [float(x) for x in re.findall(r"-?\d+\.\d+", out)]
+    assert all(abs(v) < 1e4 for v in vals)

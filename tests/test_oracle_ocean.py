@@ -434,3 +434,29 @@ def test_oracle_neutral_10m(algo):
         np.testing.assert_allclose(np.asarray(got[j], np.float64),
                                    exp[:, j], rtol=1e-12,
                                    err_msg=f"{algo}:{name}")
+
+
+def test_oracle_wl_ecmwf_depth_correction():
+    """The gdept >= Hz_wl branch of WL_ECMWF's depth correction
+    (mod_skin_ecmwf.f90:160-162: ztcorr flg both ways) — gdept=5 m vs the
+    fixed 3 m warm layer, plus the default gdept=1 m case, both at
+    rtol 1e-12."""
+    rng = np.random.default_rng(91)
+    n = 800
+    Qsw = 900.0 * rng.random(n)
+    Qnsol = -350.0 + 450.0 * rng.random(n)
+    ustar = 0.002 + 0.6 * rng.random(n)
+    sst = 272.0 + 30.0 * rng.random(n)
+    dT0 = np.where(rng.random(n) < 0.3, 0.0, 3.0 * rng.random(n))
+
+    for gdept in (1.0, 5.0):
+        exp = np.array([osk.wl_ecmwf(Qsw[i], Qnsol[i], ustar[i], sst[i],
+                                     dT0[i], 3.0, gdept=gdept)
+                        for i in range(n)])
+        st = SkinState(dT_wl=jnp.asarray(dT0), Hz_wl=jnp.full(n, 3.0),
+                       Qnt_ac=jnp.zeros(n), Tau_ac=jnp.zeros(n))
+        new = wl_ecmwf(jnp.asarray(Qsw), jnp.asarray(Qnsol),
+                       jnp.asarray(ustar), jnp.asarray(sst), st,
+                       gdept=gdept)
+        np.testing.assert_allclose(np.asarray(new.dT_wl), exp, rtol=1e-12,
+                                   atol=1e-14, err_msg=f"gdept={gdept}")

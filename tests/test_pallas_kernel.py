@@ -261,3 +261,33 @@ def test_tune_fused_mixed_blocks_tiny():
                                       reps=1, niter=2, interpret=True)
     (block, pts), = results
     assert block == (8, 128) and pts > 0
+
+
+def test_fused_mixed_simultaneous_parity():
+    """fused_mixed_step(simultaneous=True) (interpret mode) == the jit
+    LG15_IO one-pass path."""
+    import jax.numpy as jnp
+    import numpy as np
+    from aerobulk_tpu.api import flux_step_mixed
+    from aerobulk_tpu.kernels.fused import fused_mixed_step
+
+    rng = np.random.default_rng(5)
+    shape = (8, 16)
+    sst = jnp.asarray(271.0 + 3.0 * rng.random(shape))
+    Ts_i = jnp.minimum(sst - 2.0, 270.0)
+    t = jnp.asarray(np.asarray(sst) + rng.normal(0, 3.0, shape))
+    q = jnp.asarray(0.001 + 0.003 * rng.random(shape))
+    u = jnp.asarray(rng.normal(0, 6.0, shape))
+    v = jnp.asarray(rng.normal(0, 6.0, shape))
+    slp = jnp.asarray(99000.0 + 3000.0 * rng.random(shape))
+    A = jnp.asarray(rng.random(shape))
+
+    net, _, _ = flux_step_mixed(2.0, 10.0, Ts_i, sst, t, q, u, v, slp, A,
+                                simultaneous=True, niter=4)
+    QL, QH, Tau, Evap, T_s = fused_mixed_step(
+        2.0, 10.0, Ts_i, sst, t, q, u, v, slp, A, simultaneous=True,
+        niter=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(QL), np.asarray(net.QL),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Tau), np.asarray(net.Tau),
+                               rtol=1e-12)
