@@ -187,7 +187,17 @@ def measure_primitive_throughput(shape=(1024, 1024), K=64, P=2,
 
 
 def speed_of_light(counts: Counter, throughput: Dict[str, float]) -> dict:
-    """Serial-issue roofline: points/s bound and the class breakdown."""
+    """Serial-issue bound: points/s if every op class issued serially at
+    its micro-benchmarked rate, with the per-class time breakdown.
+
+    CAVEAT (measured, docs/SCALING.md 'Roofline'): this is a *lower*
+    bound on attainable throughput, not a ceiling — the real fused
+    kernels exceed it several-fold because the VPU retires >1 HLO op per
+    slot on their mix (fma pairing, free modifiers) and the per-class
+    micro-rates carry large tunnel noise.  Use the fma-ceiling +
+    implied-op-rate comparison in tools/run_roofline.py as the
+    quantitative roofline; this function is kept for the per-class time
+    *breakdown*, which is still indicative of where the slots go."""
     t_point = 0.0
     breakdown = {}
     for cls, n in counts.items():

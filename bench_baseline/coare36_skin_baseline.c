@@ -212,12 +212,10 @@ static void wl_coare(double Qsw, double Qnsol, double Tau, double sst,
     double zH = dmax(dmin(st->Hz_wl, Hwl_max), 0.1);
     double zqac = st->Qnt_ac, ztac = st->Tau_ac, zQabs = 0.0, zfr;
 
-    double rlag = -fmod((360.0 - fmod(lon, 360.0)) / 15.0, 24.0);
-    if (rlag < 0.0) rlag += -24.0 * 0.0;  /* fmod keeps sign of dividend */
-    /* Fortran MODULO is floor-mod: emulate */
+    /* Fortran MODULO is floor-mod; C fmod keeps the dividend's sign */
     double m1 = fmod((360.0 - fmod(lon + 360000.0, 360.0)) / 15.0, 24.0);
     if (m1 < 0) m1 += 24.0;
-    rlag = -m1;
+    double rlag = -m1;
     double m2 = fmod(rlag, 24.0); if (m2 < 0) m2 += 24.0;
     rlag = -fsign(dmin(fabs(rlag), fabs(m2)), rlag + 12.0);
     int ilag = (int)(rlag * 3600.0);

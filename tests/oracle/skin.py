@@ -64,6 +64,7 @@ def wl_coare(Qsw, Qnsol, Tau, sst, lon, isd, iwait, state,
 
     l_exit = False
     l_destroy_wl = False
+    zQabs = 0.0                                  # mod_skin_coare.f90:133
 
     zdTwl = dT_wl
     zHwl = max(min(Hz_wl, HWL_MAX), 0.1)
