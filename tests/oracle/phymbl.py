@@ -258,3 +258,35 @@ def delta_skin_layer(palpha, pQd, pustar_a, Qlat=None):
                              0.0) ** 0.75) ** (-1.0 / 3.0)
     ztmp = c.rnu0_w / zusw
     return (1.0 - ztf) * zlamb * ztmp + ztf * min(6.0 * ztmp, 0.007)
+
+
+def q_air_rh(rha, Ta, slp):
+    """mod_phymbl.f90:963-985"""
+    ze = 0.01 * rha * e_sat(Ta)
+    return ze * c.reps0 / max(slp - (1.0 - c.reps0) * ze, 1.0)
+
+
+def q_air_dp(da, slp):
+    """mod_phymbl.f90:990-1000"""
+    e = max(e_sat(da), 0.0)
+    return e * c.reps0 / max(slp - (1.0 - c.reps0) * e, 1.0)
+
+
+def pz_from_p0_tz_qz(z, slp, Ta, qa):
+    """Pz_from_P0_tz_qz_sclr, 3-iteration barometric fixed point
+    (mod_phymbl.f90:283-318)."""
+    R_gas = 8.314510
+    mm_dry = 28.9647e-3
+    mm_w = 18.0153e-3
+    pa = slp
+    for _ in range(3):
+        f = qa / q_sat(Ta, pa)
+        xm = (1.0 - f) * mm_dry + f * mm_w
+        pa = slp * math.exp(-c.grav * xm * z / (R_gas * Ta))
+    return pa
+
+
+def theta_from_z_p0_t_q(z, slp, Ta, qa):
+    """Theta_from_z_P0_T_q_sclr (mod_phymbl.f90:343-365)."""
+    Pz = pz_from_p0_tz_qz(z, slp, Ta, qa)
+    return Ta * (slp / Pz) ** (c.R_dry / c.rCp_dry)

@@ -460,3 +460,101 @@ def test_oracle_wl_ecmwf_depth_correction():
                        gdept=gdept)
         np.testing.assert_allclose(np.asarray(new.dT_wl), exp, rtol=1e-12,
                                    atol=1e-14, err_msg=f"gdept={gdept}")
+
+
+@pytest.mark.parametrize("algo,use_skin,humidity,seed", [
+    ("ncar", False, "sh", 201),
+    ("andreas", False, "rh", 202),
+    ("coare3p6", True, "sh", 203),
+    ("ecmwf", True, "dp", 204),
+])
+def test_oracle_flux_step_end_to_end(algo, use_skin, humidity, seed):
+    """FULL flux-step oracle: from raw inputs (ABSOLUTE air temperature,
+    humidity in the configured kind, wind components) through the
+    aerobulk_compute chain — humidity conversion, 0.98*q_sat SSQ, the
+    Theta_from_z_P0_T_q barometric conversion, the TURB solve,
+    BULK_FORMULA and the tau decomposition (mod_aerobulk_compute.f90:
+    22-213) — against the scalar transcription chain, at rtol 1e-12 on
+    QL/QH/Tau_x/Tau_y/Evap/T_s/rho_a."""
+    from aerobulk_tpu.api import AeroBulkConfig, flux_step, init_skin_state
+
+    n = 500
+    rng = np.random.default_rng(seed)
+    sst = 272.0 + 33.0 * rng.random(n)
+    t_abs = sst + rng.normal(0.0, 4.0, n)
+    slp = 97000.0 + 6000.0 * rng.random(n)
+    U = rng.normal(0.0, 8.0, n)
+    V = rng.normal(0.0, 8.0, n)
+    U[0], V[0] = 1e-4, 0.0       # |U| < 1e-3 tau-decomposition guard
+    rsw = np.where(rng.random(n) < 0.4, 0.0, 800.0 * rng.random(n))
+    rlw = 230.0 + 200.0 * rng.random(n)
+    lon = 360.0 * rng.random(n)
+    isd = 47000
+
+    if humidity == "sh":
+        hum = np.array([
+            (0.05 + 0.9 * rng.random()) * oph.q_sat(t_abs[i], slp[i])
+            for i in range(n)])
+    elif humidity == "rh":
+        hum = 5.0 + 90.0 * rng.random(n)
+    else:
+        hum = t_abs - 12.0 * rng.random(n)     # dew point below air temp
+
+    # ---- scalar chain (mod_aerobulk_compute.f90 semantics) ------------
+    rows = []
+    for i in range(n):
+        if humidity == "sh":
+            q = hum[i]
+        elif humidity == "dp":
+            q = oph.q_air_dp(hum[i], max(slp[i], 50000.0))
+        else:
+            q = oph.q_air_rh(hum[i], t_abs[i], max(slp[i], 50000.0))
+        wnd = math.sqrt(U[i] * U[i] + V[i] * V[i])
+        ssq = c.rdct_qsat_salt * oph.q_sat(sst[i], slp[i])
+        theta = oph.theta_from_z_p0_t_q(2.0, slp[i], t_abs[i], q)
+
+        wl_state = None
+        if algo == "coare3p6":
+            out, _ = otb.turb_coare_sc(
+                "coare3p6", 2.0, 10.0, sst[i], theta, ssq, q, wnd,
+                niter=5, use_cs=True, use_wl=True,
+                Qsw=(1.0 - c.roce_alb0) * rsw[i], rad_lw=rlw[i],
+                slp=slp[i], isecday_utc=isd, lon=lon[i])
+        elif algo == "ecmwf":
+            out, _ = otb.turb_ecmwf_sc(
+                2.0, 10.0, sst[i], theta, ssq, q, wnd, niter=5,
+                use_cs=True, use_wl=True,
+                Qsw=(1.0 - c.roce_alb0) * rsw[i], rad_lw=rlw[i],
+                slp=slp[i])
+        elif algo == "ncar":
+            out = otb.turb_ncar_sc(2.0, 10.0, sst[i], theta, ssq, q, wnd,
+                                   niter=5)
+        else:
+            out = otb.turb_andreas_sc(2.0, 10.0, sst[i], theta, ssq, q,
+                                      wnd, niter=5)
+
+        Tau, QH, QL, Evap, rho = oph.bulk_formula(
+            10.0, out["T_s"], out["q_s"], out["t_zu"], out["q_zu"],
+            out["Cd"], out["Ch"], out["Ce"], wnd, out["Ubzu"], slp[i])
+        inv_w = 1.0 / max(wnd, 1.0e-3) if wnd > 1.0e-3 else 0.0
+        rows.append(dict(QL=QL, QH=QH, Tau=Tau, Tau_x=Tau * inv_w * U[i],
+                         Tau_y=Tau * inv_w * V[i], Evap=Evap,
+                         T_s=out["T_s"], rho_a=rho))
+
+    # ---- vectorized path ----------------------------------------------
+    cfg = AeroBulkConfig(algo=algo, zt=2.0, zu=10.0, niter=5,
+                         use_skin=use_skin, humidity=humidity)
+    kw = {}
+    if use_skin:
+        kw = dict(rad_sw=jnp.asarray(rsw), rad_lw=jnp.asarray(rlw),
+                  isecday_utc=isd, lon=jnp.asarray(lon),
+                  skin_state=init_skin_state(cfg, (n,), jnp.float64))
+    out_vec, _ = flux_step(cfg, jnp.asarray(sst), jnp.asarray(t_abs),
+                           jnp.asarray(hum), jnp.asarray(U),
+                           jnp.asarray(V), jnp.asarray(slp), **kw)
+
+    for k in ("QL", "QH", "Tau", "Tau_x", "Tau_y", "Evap", "T_s", "rho_a"):
+        got = np.asarray(getattr(out_vec, k), np.float64)
+        exp = np.array([r[k] for r in rows])
+        np.testing.assert_allclose(got, exp, rtol=1e-12, atol=1e-13,
+                                   err_msg=f"{algo}:{k}")
