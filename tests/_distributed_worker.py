@@ -48,7 +48,7 @@ def main():
 
     import jax.numpy as jnp
     from aerobulk_tpu.api import AeroBulkConfig, flux_step, init_skin_state
-    from aerobulk_tpu.sharding import grid_sharding
+    
 
     mesh = make_grid_mesh(devs, shape=(1, len(devs)))
 

@@ -20,7 +20,7 @@ from aerobulk_tpu import constants as c
 
 from . import HITS
 from .phymbl import (f_h_louis, f_m_louis, fsign, one_on_l, ri_bulk,
-                     un10_from_cd, virt_temp, visc_air, z0_from_cd,
+                     un10_from_cd, visc_air, z0_from_cd,
                      cd_from_z0)
 
 RPI = math.pi

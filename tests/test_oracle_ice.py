@@ -18,7 +18,6 @@ reproduced identically in the oracle so they stay pinned):
     and is covered here.
 """
 
-import math
 
 import jax.numpy as jnp
 import numpy as np
