@@ -3,7 +3,7 @@
 
 PY ?= python3
 
-.PHONY: test test-fast bench cpp cpp-example toy clean
+.PHONY: test test-fast bench bench-all baseline roofline cpp cpp-example toy clean
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -13,6 +13,17 @@ test-fast:
 
 bench:
 	$(PY) bench.py
+
+bench-all:
+	$(PY) bench.py --all
+
+baseline:   # measured single-core CPU baseline (C transcription)
+	cc -O3 -march=native -ffast-math -o bench_baseline/coare36_skin_baseline \
+	  bench_baseline/coare36_skin_baseline.c -lm
+	./bench_baseline/coare36_skin_baseline 200000 5
+
+roofline:   # op census + VPU ceiling -> docs/ROOFLINE.json (run on TPU)
+	$(PY) tools/run_roofline.py
 
 cpp:
 	cmake -S cpp -B cpp/build -G Ninja -DCMAKE_BUILD_TYPE=Release

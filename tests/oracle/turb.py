@@ -860,3 +860,26 @@ def turb_neutral_10m_sc(calgo, U_N10, niter=5):
         return CdN10, ChN10, CeN10, z0
 
     raise ValueError(calgo)
+
+
+# ---------------------------------------------------------------------------
+# psi_m/h_grachev07 (mod_blk_grachev07.f90:49-127)
+# ---------------------------------------------------------------------------
+
+def psi_m_grachev07_sc(zeta):
+    """mod_blk_grachev07.f90:49-71"""
+    zx = abs(1.0 - 16.0 * zeta) ** 0.25
+    zpsi_u = (math.log(0.5 * (1.0 + zx * zx))
+              + 2.0 * math.log(0.5 * (1.0 + zx))
+              - 2.0 * math.atan(zx) + 0.5 * RPI)
+    zpsi_s = 1.0 + 6.5 * zeta * (1.0 + zeta) ** 0.3333333 / (1.3 + zeta)
+    return zpsi_u if zeta < 0.0 else -1.0 * zpsi_s
+
+
+def psi_h_grachev07_sc(zeta):
+    """mod_blk_grachev07.f90:91-115"""
+    zx = abs(1.0 - 16.0 * zeta) ** 0.25
+    zpsi_u = 2.0 * math.log(0.5 * (1.0 + zx * zx))
+    zpsi_s = (1.0 + 5.0 * zeta * (1.0 + zeta)
+              / (1.0 + 3.0 * zeta + zeta * zeta))
+    return zpsi_u if zeta < 0.0 else -1.0 * zpsi_s

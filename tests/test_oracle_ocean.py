@@ -558,3 +558,19 @@ def test_oracle_flux_step_end_to_end(algo, use_skin, humidity, seed):
         exp = np.array([r[k] for r in rows])
         np.testing.assert_allclose(got, exp, rtol=1e-12, atol=1e-13,
                                    err_msg=f"{algo}:{k}")
+
+
+def test_oracle_psi_grachev07():
+    """The last psi family without a transcription oracle: Grachev-07
+    SHEBA (mod_blk_grachev07.f90:49-127), swept over zeta in [-20, 20]
+    incl. 0 (the stable branch's documented discontinuity at 0+)."""
+    from aerobulk_tpu.stability import psi_h_grachev07, psi_m_grachev07
+
+    rng = np.random.default_rng(99)
+    z = np.concatenate([[0.0, -1e-12, 1e-12], rng.uniform(-20, 20, 2000)])
+    got_m = np.asarray(psi_m_grachev07(jnp.asarray(z)))
+    got_h = np.asarray(psi_h_grachev07(jnp.asarray(z)))
+    exp_m = np.array([otb.psi_m_grachev07_sc(x) for x in z])
+    exp_h = np.array([otb.psi_h_grachev07_sc(x) for x in z])
+    np.testing.assert_allclose(got_m, exp_m, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(got_h, exp_h, rtol=1e-12, atol=1e-14)
