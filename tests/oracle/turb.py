@@ -867,19 +867,22 @@ def turb_neutral_10m_sc(calgo, U_N10, niter=5):
 # ---------------------------------------------------------------------------
 
 def psi_m_grachev07_sc(zeta):
-    """mod_blk_grachev07.f90:49-71"""
-    zx = abs(1.0 - 16.0 * zeta) ** 0.25
-    zpsi_u = (math.log(0.5 * (1.0 + zx * zx))
-              + 2.0 * math.log(0.5 * (1.0 + zx))
-              - 2.0 * math.atan(zx) + 0.5 * RPI)
-    zpsi_s = 1.0 + 6.5 * zeta * (1.0 + zeta) ** 0.3333333 / (1.3 + zeta)
-    return zpsi_u if zeta < 0.0 else -1.0 * zpsi_s
+    """mod_blk_grachev07.f90:49-71.  The stable expression is only
+    evaluated when selected (Fortran MERGE evaluates both operands but
+    the (1+zeta)**1/3 NaN for zeta < -1 is discarded; here we guard to
+    keep the scalar arithmetic warning-free)."""
+    if zeta < 0.0:
+        zx = abs(1.0 - 16.0 * zeta) ** 0.25
+        return (math.log(0.5 * (1.0 + zx * zx))
+                + 2.0 * math.log(0.5 * (1.0 + zx))
+                - 2.0 * math.atan(zx) + 0.5 * RPI)
+    return -(1.0 + 6.5 * zeta * (1.0 + zeta) ** 0.3333333 / (1.3 + zeta))
 
 
 def psi_h_grachev07_sc(zeta):
     """mod_blk_grachev07.f90:91-115"""
-    zx = abs(1.0 - 16.0 * zeta) ** 0.25
-    zpsi_u = 2.0 * math.log(0.5 * (1.0 + zx * zx))
-    zpsi_s = (1.0 + 5.0 * zeta * (1.0 + zeta)
-              / (1.0 + 3.0 * zeta + zeta * zeta))
-    return zpsi_u if zeta < 0.0 else -1.0 * zpsi_s
+    if zeta < 0.0:
+        zx = abs(1.0 - 16.0 * zeta) ** 0.25
+        return 2.0 * math.log(0.5 * (1.0 + zx * zx))
+    return -(1.0 + 5.0 * zeta * (1.0 + zeta)
+             / (1.0 + 3.0 * zeta + zeta * zeta))
