@@ -55,6 +55,16 @@ def _walk(jx, counts: Counter, mult: int = 1):
             _walk(eqn.params["jaxpr"].jaxpr, counts,
                   mult * eqn.params["length"])
             continue
+        if name in ("cond", "while", "switch"):
+            # the census's exactness claim relies on straight-line code
+            # (+ scan with a static trip count); a data-dependent branch
+            # would make "ops per point" ill-defined.  Fail loudly rather
+            # than silently over/under-count.
+            raise ValueError(
+                f"roofline census: data-dependent control flow "
+                f"({name!r}) entered the flux step — the exact per-point "
+                "op count is no longer well-defined; extend _walk with "
+                "an explicit policy for it")
         nested = False
         for p in eqn.params.values():
             inner = getattr(p, "jaxpr", None)

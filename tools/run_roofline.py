@@ -38,11 +38,20 @@ PAD_FACTOR = (736 * 1536) / (721 * 1440)   # kernel computes padded tiles
 def main():
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
-    for a in sys.argv:
-        if a.startswith("--measured"):
-            for kv in a.split("=", 1)[1].split(","):
-                k, v = kv.split("=")
-                MEASURED[k] = float(v)
+    for i, a in enumerate(sys.argv):
+        if a == "--measured":              # space-separated form
+            spec = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
+        elif a.startswith("--measured="):  # --measured=k=v,... form
+            spec = a.split("=", 1)[1]
+        else:
+            continue
+        for kv in spec.split(","):
+            if "=" not in kv:
+                raise SystemExit(
+                    f"--measured expects name=value[,name=value...], "
+                    f"got {kv!r}")
+            k, v = kv.split("=")
+            MEASURED[k] = float(v)
     use_pallas = jax.devices()[0].platform in ("tpu", "axon")
 
     from aerobulk_tpu.roofline import (flux_step_counts,
