@@ -21,9 +21,11 @@ SURVEY.md §1), via ``ice_*`` algorithm names.
 
 Known reference bugs deliberately NOT replicated (SURVEY.md §4): the
 library-level warm layer hardcoding ``isecday_utc=12``, ``plong=0``
-(mod_aerobulk_compute.f90:126-136) — here solar time/longitude are real
-inputs with those values as backward-compatible defaults; and
-``AEROBULK_INIT`` being fed ``rad_lw`` as ``prsw`` (mod_aerobulk.f90:248).
+(mod_aerobulk_compute.f90:126-136) — here solar time is a REQUIRED input
+whenever the warm layer needs it (no silent midnight anchor; only the
+drop-in :func:`aerobulk_model` wrapper keeps the reference value as its
+default, loudly documented); and ``AEROBULK_INIT`` being fed ``rad_lw``
+as ``prsw`` (mod_aerobulk.f90:248).
 """
 
 from __future__ import annotations
@@ -187,13 +189,23 @@ def init(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
 # ---------------------------------------------------------------------------
 
 def flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
-              rad_sw=None, rad_lw=None, isecday_utc=12, lon=None,
+              rad_sw=None, rad_lw=None, isecday_utc=None, lon=None,
               skin_state: Optional[SkinState] = None):
     """Compute fluxes for one time record (mod_aerobulk_compute.f90:22-213).
 
     Args mirror ``aerobulk_compute``: ``t_zt`` is ABSOLUTE air temperature
     at zt [K]; ``hum_zt`` is interpreted per ``cfg.humidity``.  Returns
     ``(FluxOutput, SkinState)``.
+
+    ``isecday_utc`` (UTC seconds since 00h) anchors the COARE warm layer's
+    solar clock and is REQUIRED when the configured algorithm uses it
+    (coare3p0/coare3p6 with ``use_skin=True``).  There is deliberately no
+    default: the reference hardcodes ``isecday_utc=12`` — 12 *seconds*
+    past midnight — at the library level (mod_aerobulk_compute.f90:136, a
+    known bug), which silently anchors the warm layer to midnight.  Pass
+    the record's true seconds-of-day (``io.seconds_of_day``), ``43200``
+    for solar noon, or ``12`` explicitly to replicate the reference bug
+    (:func:`aerobulk_model`, the drop-in compat wrapper, does the latter).
     """
     fn, supports_skin, needs_time = OCEAN_ALGOS[cfg.algo]
 
@@ -223,6 +235,15 @@ def flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
                   rad_lw=rad_lw, slp=slp, skin_state=skin_state,
                   rdt=cfg.rdt, gdept=cfg.gdept)
         if needs_time:
+            if isecday_utc is None:
+                raise ValueError(
+                    f"flux_step: algo {cfg.algo!r} with use_skin=True "
+                    "needs isecday_utc (UTC seconds since 00h) for the "
+                    "warm layer's solar clock.  Pass the record's true "
+                    "seconds-of-day, 43200 for solar noon, or 12 "
+                    "explicitly to replicate the reference's hardcoded "
+                    "value (a known bug: mod_aerobulk_compute.f90:136 "
+                    "anchors the warm layer 12 seconds past midnight)")
             kw.update(isecday_utc=isecday_utc, lon=lon)
         res, state = fn(cfg.zt, cfg.zu, sst, theta_zt, ssq, q_zt, wnd, **kw)
     elif supports_skin:
@@ -399,9 +420,14 @@ def flux_sanity_count(out: FluxOutput):
     (``BULK_FORMULA_VCTR``, mod_phymbl.f90:1249-1253): the number of
     points with |tau| above ``ref_tau_max`` or a non-finite flux.  Returns
     a traced int32 scalar — 0 means healthy.  Fold it into diagnostics or
-    check it on the host via :func:`check_flux_sanity`."""
-    bad = ((jnp.abs(out.Tau) > c.ref_tau_max)
-           | ~jnp.isfinite(out.Tau) | ~jnp.isfinite(out.QL)
+    check it on the host via :func:`check_flux_sanity`.
+
+    Works on fused-path outputs too: ``run_series(backend='fused')``
+    returns ``Tau=None`` (reduced output set), in which case the stress
+    module is reconstructed from its components."""
+    tau = out.Tau if out.Tau is not None else jnp.hypot(out.Tau_x, out.Tau_y)
+    bad = ((jnp.abs(tau) > c.ref_tau_max)
+           | ~jnp.isfinite(tau) | ~jnp.isfinite(out.QL)
            | ~jnp.isfinite(out.QH))
     return jnp.sum(bad.astype(jnp.int32))
 
@@ -413,7 +439,8 @@ def check_flux_sanity(out: FluxOutput):
     instead (aborting is not jit-compatible)."""
     n = int(flux_sanity_count(out))
     if n:
-        tau = np.asarray(out.Tau, np.float64)
+        tau = np.asarray(out.Tau if out.Tau is not None
+                         else jnp.hypot(out.Tau_x, out.Tau_y), np.float64)
         worst = float(np.nanmax(np.abs(tau)))
         raise ValueError(
             f"flux sanity check failed at {n} point(s): wind stress too "
@@ -425,12 +452,15 @@ def check_flux_sanity(out: FluxOutput):
 def run_series(cfg: AeroBulkConfig, forcing: dict,
                skin_state: Optional[SkinState] = None,
                isecday_utc=None, lon=None, remat: bool = False,
-               backend: str = "jit", batch_records: bool = False):
+               backend: str = "jit", batch_records: bool = False,
+               fused_block=(32, 256), fused_interpret=None):
     """Scan :func:`flux_step` over a time axis.
 
     ``forcing`` maps input names (sst, t_zt, hum_zt, U_zu, V_zu, slp,
     [rad_sw, rad_lw]) to arrays of shape ``(nt, ...)``; ``isecday_utc`` is
-    an optional ``(nt,)`` int array of UTC seconds-of-day.  The warm-layer
+    an ``(nt,)`` int array of UTC seconds-of-day — REQUIRED whenever the
+    config runs the COARE warm layer (see :func:`flux_step` on the
+    reference's hardcoded-``12`` bug), ignored otherwise.  The warm-layer
     state threads through the scan exactly as the reference's time loop
     carries its module arrays.  Returns ``(FluxOutput stacked over nt,
     final SkinState)``.
@@ -444,7 +474,8 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
         0.25-degree workload; requires 2-D (y, x) grids, a skin-capable
         config with ``use_skin=True``, and rad_sw/rad_lw in the forcing.
         Returns the reduced output set (QL, QH, Tau_x, Tau_y, Evap, T_s;
-        ``Tau`` and ``rho_a``/``diag`` are None).
+        ``Tau`` and ``rho_a``/``diag`` are None).  ``fused_block`` /
+        ``fused_interpret`` are forwarded to the kernel.
 
     ``batch_records=True`` (stateless configs only) computes every record
     in one vectorized call instead of scanning — the fast way to run
@@ -456,9 +487,6 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
     if skin_state is None:
         skin_state = init_skin_state(cfg, forcing["sst"].shape[1:],
                                      jnp.result_type(forcing["sst"]))
-    if isecday_utc is None:
-        isecday_utc = jnp.full((nt,), 12, jnp.int32)
-
     if batch_records:
         # Stateless configs (no skin scheme) have independent records:
         # the computation is pointwise, so the whole (nt, ...) series is
@@ -476,6 +504,18 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
             lon=lon, skin_state=None)
         return out, skin_state
 
+    if isecday_utc is None:
+        if cfg.use_skin and OCEAN_ALGOS[cfg.algo][2]:
+            raise ValueError(
+                f"run_series: algo {cfg.algo!r} with use_skin=True needs "
+                "isecday_utc — an (nt,) array of UTC seconds since 00h "
+                "(io.seconds_of_day of the record timestamps) — to anchor "
+                "the warm layer's solar clock.  Pass "
+                "jnp.full((nt,), 12) explicitly to replicate the "
+                "reference's hardcoded library value (a known bug: "
+                "mod_aerobulk_compute.f90:136)")
+        isecday_utc = jnp.zeros((nt,), jnp.int32)   # unused by the config
+
     if backend == "fused":
         from .kernels.fused import fused_flux_step
         if not cfg.use_skin or "rad_sw" not in forcing \
@@ -488,7 +528,8 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
             (QL, QH, Tau_x, Tau_y, Evap, T_s), state = fused_flux_step(
                 cfg, *(args[n] for n in names), args["rad_sw"],
                 args["rad_lw"], lon=lon, isecday_utc=isd,
-                skin_state=state)
+                skin_state=state, block=fused_block,
+                interpret=fused_interpret)
             return state, FluxOutput(QL=QL, QH=QH, Tau=None, Tau_x=Tau_x,
                                      Tau_y=Tau_y, Evap=Evap, T_s=T_s,
                                      rho_a=None, diag=None)
@@ -531,6 +572,12 @@ def aerobulk_model(jt, Nt, calgo, zt, zu, sst, t_zt, hum_zt, U_zu, V_zu,
     Returns ``(QL, QH, Tau_x, Tau_y, Evap, T_s)`` as jnp arrays.
     Prefer :func:`flux_step` / :func:`run_series` in new code (explicit
     state, jit/scan-friendly).
+
+    NB: the default ``isecday_utc=12`` replicates the reference's
+    library-level warm-layer bug verbatim (mod_aerobulk_compute.f90:136
+    anchors the solar clock 12 *seconds* past midnight) — this wrapper is
+    bit-compatible with the reference by design.  Pass the real
+    seconds-of-day for physically-meaningful warm-layer timing.
     """
     cfg = AeroBulkConfig(algo=calgo, zt=float(zt), zu=float(zu),
                          niter=int(Niter), use_skin=bool(l_use_skin),

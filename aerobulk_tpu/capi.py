@@ -57,7 +57,12 @@ def model_buffers(jt, Nt, calgo, zt, zu, sst, t_zt, hum_zt, U_zu, V_zu, slp,
 
     kw = {}
     if use_skin:
-        kw = dict(rad_sw=in_arr(rad_sw), rad_lw=in_arr(rad_lw))
+        # the reference C++ API has no time argument — its library path
+        # hardcodes isecday_utc=12 (mod_aerobulk_compute.f90:136, a known
+        # bug we replicate here for drop-in parity; the native Python API
+        # requires an explicit clock instead)
+        kw = dict(rad_sw=in_arr(rad_sw), rad_lw=in_arr(rad_lw),
+                  isecday_utc=12)
     out, new_state = flux_step(cfg, sst_a, in_arr(t_zt), in_arr(hum_zt),
                                in_arr(U_zu), in_arr(V_zu), in_arr(slp),
                                skin_state=state, **kw)

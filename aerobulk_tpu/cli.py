@@ -229,8 +229,12 @@ def cmd_series(args):
         isd = jnp.asarray(abio.seconds_of_day(epoch), jnp.int32)
         time = epoch
     else:
-        isd = None
+        # no time column: synthesize an hourly axis starting at 00h UTC
+        # and derive the warm layer's seconds-of-day from it (the library
+        # refuses a silent default — see api.flux_step on the reference's
+        # hardcoded isecday_utc=12 bug)
         time = np.arange(nt, dtype=np.float64) * 3600.0
+        isd = jnp.asarray(time % 86400.0, jnp.int32)
 
     cfg = AeroBulkConfig(algo=args.algo, zt=args.zt, zu=args.zu,
                          niter=args.niter, use_skin=use_skin)

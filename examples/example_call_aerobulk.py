@@ -36,7 +36,9 @@ for algo, skin in [("coare3p0", True), ("coare3p6", True), ("ecmwf", True),
                    ("ncar", False), ("andreas", False)]:
     cfg = AeroBulkConfig(algo=algo, zt=2.0, zu=10.0, niter=NITER,
                          use_skin=skin)
-    kw = dict(rad_sw=rad_sw, rad_lw=rad_lw) if skin else {}
+    # isecday_utc=12 replicates the reference's hardcoded library clock
+    # (mod_aerobulk_compute.f90:136) — ex_ab.dat was generated with it
+    kw = dict(rad_sw=rad_sw, rad_lw=rad_lw, isecday_utc=12) if skin else {}
     out, _ = flux_step(cfg, sst, t_zt, q_zt, U, V, slp, **kw)
 
     print(f"\n *********** {algo.upper()} *****************")

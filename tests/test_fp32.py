@@ -34,7 +34,8 @@ def test_fp32_tracks_fp64(algo):
         kw = {}
         if skin:
             kw = dict(rad_sw=jnp.asarray(rsw, dtype),
-                      rad_lw=jnp.asarray(rlw, dtype))
+                      rad_lw=jnp.asarray(rlw, dtype),
+                      isecday_utc=43200)
         out, _ = flux_step(cfg, *a, **kw)
         return (np.asarray(out.QL, np.float64),
                 np.asarray(out.Tau, np.float64))

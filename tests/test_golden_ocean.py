@@ -61,7 +61,9 @@ def test_ex_ab_golden(algo):
     out, _ = flux_step(cfg, jnp.asarray(SST), jnp.asarray(T_ZT),
                        jnp.asarray(Q_ZT), jnp.asarray(U), jnp.asarray(V),
                        jnp.asarray(SLP), rad_sw=jnp.asarray(RSW),
-                       rad_lw=jnp.asarray(RLW))
+                       # ex_ab.dat was generated with the reference's
+                       # hardcoded library clock (mod_aerobulk_compute:136)
+                       rad_lw=jnp.asarray(RLW), isecday_utc=12)
     np.testing.assert_allclose(out.QH, exp["QH"], rtol=1e-5)
     np.testing.assert_allclose(out.QL, exp["QL"], rtol=1e-5)
     np.testing.assert_allclose(out.Evap * 86400.0, exp["E"], rtol=1e-5)

@@ -24,7 +24,7 @@ def test_flux_gradient_matches_finite_difference(algo):
         kw = {}
         if cfg.use_skin:
             kw = dict(rad_sw=jnp.full((1,), 200.0),
-                      rad_lw=jnp.full((1,), 380.0))
+                      rad_lw=jnp.full((1,), 380.0), isecday_utc=43200)
         out, _ = flux_step(cfg, sst, jnp.full((1,), 293.15),
                            jnp.full((1,), 0.012), jnp.full((1,), 6.0),
                            jnp.zeros((1,)), jnp.full((1,), 101000.0), **kw)

@@ -185,3 +185,35 @@ def test_run_series_batch_records_matches_scan():
     cfg_skin = AeroBulkConfig(algo="coare3p6", niter=2, use_skin=True)
     with pytest.raises(ValueError, match="stateless"):
         run_series(cfg_skin, forcing, batch_records=True)
+
+
+def test_warm_layer_clock_is_required_not_defaulted():
+    """The reference hardcodes isecday_utc=12 (12 s past midnight) at the
+    library level (mod_aerobulk_compute.f90:136) — a known bug that
+    silently anchors the warm layer to midnight.  Our API must REFUSE to
+    default it for warm-layer configs (VERDICT r2 item 5), accept an
+    explicit value, and not demand it where the algorithm never uses it."""
+    forcing, isd = _day_forcing(nt=3)
+    cfg = AeroBulkConfig(algo="coare3p6", niter=2, use_skin=True)
+
+    with pytest.raises(ValueError, match="isecday_utc"):
+        run_series(cfg, forcing)
+    with pytest.raises(ValueError, match="mod_aerobulk_compute"):
+        flux_step(cfg, *(forcing[k][0] for k in
+                         ("sst", "t_zt", "hum_zt", "U_zu", "V_zu", "slp")),
+                  rad_sw=forcing["rad_sw"][0], rad_lw=forcing["rad_lw"][0])
+
+    # explicit clock: fine (including the ref-compat value 12)
+    out, _ = run_series(cfg, forcing, isecday_utc=jnp.full((3,), 12))
+    assert np.all(np.isfinite(np.asarray(out.QL)))
+
+    # ECMWF's warm layer has no solar clock: no isecday required
+    cfg_e = AeroBulkConfig(algo="ecmwf", niter=2, use_skin=True)
+    out_e, _ = run_series(cfg_e, forcing)
+    assert np.all(np.isfinite(np.asarray(out_e.QL)))
+
+    # the drop-in compat wrapper keeps the reference's default verbatim
+    from aerobulk_tpu.api import aerobulk_model
+    import inspect
+    assert inspect.signature(aerobulk_model).parameters[
+        "isecday_utc"].default == 12
