@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["init_distributed", "make_grid_mesh", "grid_sharding",
            "shard_grid_inputs", "replicated", "sharded_fused_flux_step",
-           "global_from_host_local"]
+           "sharded_run_series", "global_from_host_local"]
 
 
 def init_distributed(coordinator_address=None, num_processes=None,
@@ -148,3 +148,56 @@ def sharded_fused_flux_step(mesh: Mesh, cfg, sst, t_zt, hum_zt, U_zu, V_zu,
                       lon, isd, *skin_state)
     from .skin import SkinState
     return tuple(flat[:6]), SkinState(*flat[6:])
+
+
+def sharded_run_series(mesh: Mesh, cfg, forcing: dict, isecday_utc=None,
+                       lon=None, skin_state=None, backend: str = "jit",
+                       remat: bool = False, block=(32, 256),
+                       interpret=None):
+    """:func:`aerobulk_tpu.api.run_series` over a grid mesh — the
+    PRODUCTION multi-chip shape: the time scan runs *device-local* inside
+    one ``shard_map``, so the warm-layer state carries across records
+    entirely on-chip (zero collectives per step, zero per-step shard_map
+    re-entry).  This is the TPU analogue of the reference's year-long
+    stateful time loop (test_aerobulk_buoy_series_oce.f90:364-537) run on
+    a decomposed domain.
+
+    ``forcing`` maps names to ``(nt, ny, nx)`` arrays sharded (or
+    shardable) over the trailing grid axes; time stays replicated.
+    ``backend="fused"`` scans the fused Pallas kernel per device (the
+    TPU speed path; ``block``/``interpret`` forwarded).  Returns the same
+    ``(stacked FluxOutput, final SkinState)`` as ``run_series``, sharded.
+    """
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    from .api import init_skin_state, run_series
+
+    grid_shape = forcing["sst"].shape[1:]
+    if skin_state is None:
+        skin_state = init_skin_state(cfg, grid_shape,
+                                     jnp.result_type(forcing["sst"]))
+    if lon is None:
+        lon = jnp.zeros(grid_shape, forcing["sst"].dtype)
+
+    fspec = P(None, "gy", "gx")   # (nt, y, x): time replicated
+    gspec = P("gy", "gx")         # (y, x) grid fields / state
+    in_specs = ({k: fspec for k in forcing}, P(None), gspec,
+                jax.tree_util.tree_map(lambda _: gspec, skin_state))
+
+    kw = dict(backend=backend, remat=remat)
+    if backend == "fused":
+        kw.update(fused_block=block, fused_interpret=interpret)
+
+    # check_vma=False for the fused backend: pallas_call inside shard_map
+    # cannot declare varying-across-mesh outputs (pointwise workload, so
+    # nothing is actually replicated).
+    @partial(shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=(fspec, gspec), check_vma=False)
+    def local_series(fc, isd, lo, st):
+        return run_series(cfg, fc, skin_state=st, isecday_utc=isd,
+                          lon=lo, **kw)
+
+    return local_series(forcing, isecday_utc, lon, skin_state)

@@ -1,13 +1,17 @@
-"""2-process jax.distributed exercise (VERDICT round-1 item 6).
+"""2-process jax.distributed exercise (VERDICT round-1 item 6, upgraded
+per VERDICT round-2 items 1-2: multi-step + per-point).
 
 Spawns two real OS processes, each owning 2 virtual CPU devices, that
 initialize ``jax.distributed`` against a local coordinator, feed
 host-local forcing slabs through
 ``sharding.global_from_host_local`` (jax.make_array_from_process_local_data)
-and run one jit-compiled stateful sharded flux step over the global
-4-device mesh.  The per-process shard checksums must add up to the QL sum
-of an identical single-process run — proving the multi-host feed helper
-and ``init_distributed`` produce the same numbers as the plain path.
+and run a jit-compiled 3-record stateful scan (``run_series``, warm-layer
+state carried across records) over the global 4-device mesh.  Each worker
+dumps its addressable per-point output shards; the parent reassembles the
+global fields and compares them PER POINT against an identical
+single-process run — proving the multi-host feed helper, the distributed
+init, and multi-step state threading produce the same numbers as the
+plain path (no checksum masking).
 """
 
 import os
@@ -15,8 +19,6 @@ import socket
 import subprocess
 import sys
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -31,32 +33,25 @@ def _free_port():
 
 def _single_process_reference():
     """Same global problem as tests/_distributed_worker.py, one process."""
-    from aerobulk_tpu.api import AeroBulkConfig, flux_step, init_skin_state
+    import jax.numpy as jnp
+    from aerobulk_tpu.api import AeroBulkConfig, init_skin_state, run_series
 
-    ny, nx = 8, 16
-    rng = np.random.default_rng(2027)
-    sst = 285.0 + 15.0 * rng.random((ny, nx))
-    t = sst + rng.normal(0.0, 2.0, (ny, nx))
-    q = 0.004 + 0.012 * rng.random((ny, nx))
-    u = rng.normal(0.0, 6.0, (ny, nx))
-    v = rng.normal(0.0, 6.0, (ny, nx))
-    slp = 98000.0 + 4000.0 * rng.random((ny, nx))
-    rsw = 500.0 * rng.random((ny, nx))
-    rlw = 250.0 + 150.0 * rng.random((ny, nx))
-    lon = 360.0 * rng.random((ny, nx))
+    from tests._distributed_worker import global_problem
 
+    f, lon, isd = global_problem()
     cfg = AeroBulkConfig(algo="coare3p6", zt=2.0, zu=10.0, niter=3,
                          use_skin=True)
-    state = init_skin_state(cfg, (ny, nx), jnp.float64)
-    out, _ = flux_step(cfg, *map(jnp.asarray, (sst, t, q, u, v, slp)),
-                       rad_sw=jnp.asarray(rsw), rad_lw=jnp.asarray(rlw),
-                       isecday_utc=43200, lon=jnp.asarray(lon),
-                       skin_state=state)
-    return float(np.asarray(out.QL).sum())
+    state = init_skin_state(cfg, lon.shape, jnp.float64)
+    out, ns = run_series(cfg, {k: jnp.asarray(v) for k, v in f.items()},
+                         skin_state=state, isecday_utc=jnp.asarray(isd),
+                         lon=jnp.asarray(lon))
+    return {"QL": np.asarray(out.QL), "QH": np.asarray(out.QH),
+            "Tau": np.asarray(out.Tau), "dT_wl": np.asarray(ns.dT_wl),
+            "Qnt_ac": np.asarray(ns.Qnt_ac)}
 
 
 @pytest.mark.slow
-def test_two_process_distributed_sharded_step():
+def test_two_process_distributed_sharded_series(tmp_path):
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = dict(os.environ)
@@ -64,11 +59,10 @@ def test_two_process_distributed_sharded_step():
     worker = os.path.join(ROOT, "tests", "_distributed_worker.py")
 
     procs = [subprocess.Popen(
-        [sys.executable, worker, coordinator, "2", str(pid)],
+        [sys.executable, worker, coordinator, "2", str(pid), str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         cwd=ROOT) for pid in range(2)]
-    outs = []
-    for p in procs:
+    for pid, p in enumerate(procs):
         try:
             out, err = p.communicate(timeout=300)
         except subprocess.TimeoutExpired:
@@ -76,13 +70,18 @@ def test_two_process_distributed_sharded_step():
                 q.kill()
             raise
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-        outs.append(out)
+        assert f"WORKER {pid} OK" in out
 
-    sums = []
-    for pid, out in enumerate(outs):
-        line = next(ln for ln in out.splitlines()
-                    if ln.startswith(f"WORKER {pid} OK"))
-        sums.append(float(line.split()[-1]))
+    # reassemble the global fields from the two workers' per-point slabs
+    slabs = [dict(np.load(tmp_path / f"worker{pid}.npz"))
+             for pid in range(2)]
+    assert slabs[0]["x0"] < slabs[1]["x0"]
 
     ref = _single_process_reference()
-    np.testing.assert_allclose(sums[0] + sums[1], ref, rtol=1e-12)
+    for name, ref_arr in ref.items():
+        got = np.concatenate([s[name] for s in slabs], axis=-1)
+        assert got.shape == ref_arr.shape, name
+        # per-point (not a checksum): the distributed program must produce
+        # the same value at every grid point and every record
+        np.testing.assert_allclose(got, ref_arr, rtol=1e-12, atol=0,
+                                   err_msg=name)

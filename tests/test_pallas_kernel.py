@@ -156,6 +156,60 @@ def test_sharded_fused_step_matches_unsharded():
                                   np.asarray(ref_ns.dT_wl))
 
 
+def test_sharded_run_series_multistep_matches_unsharded():
+    """THE production shape (VERDICT r2 item 2): a multi-record scan with
+    warm-layer state carried across records, executing device-local under
+    an 8-device (2, 4) mesh — must be bitwise equal to the unsharded run
+    for BOTH backends (jit and the fused kernel's shard_map path).  The
+    analogue of the reference's year-long stateful time loop
+    (test_aerobulk_buoy_series_oce.f90:364-537) on a decomposed domain."""
+    from aerobulk_tpu.api import run_series
+    from aerobulk_tpu.sharding import (make_grid_mesh, shard_grid_inputs,
+                                       sharded_run_series)
+
+    cfg = AeroBulkConfig(algo="coare3p6", niter=3, use_skin=True)
+    nt, shape = 5, (8, 512)
+    rng = np.random.default_rng(47)
+    mk = lambda a: jnp.asarray(a)
+    forcing = {
+        "sst": mk(285.0 + 15.0 * rng.random((nt,) + shape)),
+        "t_zt": mk(284.0 + 16.0 * rng.random((nt,) + shape)),
+        "hum_zt": mk(0.004 + 0.012 * rng.random((nt,) + shape)),
+        "U_zu": mk(rng.normal(0, 6, (nt,) + shape)),
+        "V_zu": mk(rng.normal(0, 6, (nt,) + shape)),
+        "slp": mk(98000 + 4000 * rng.random((nt,) + shape)),
+        "rad_sw": mk(500 * rng.random((nt,) + shape)),
+        "rad_lw": mk(250 + 150 * rng.random((nt,) + shape)),
+    }
+    lon = mk(360.0 * rng.random(shape))
+    # spans a dawn-reset window and an accumulator build phase
+    isd = jnp.asarray([3 * 3600, 5 * 3600, 10 * 3600, 43200, 82800],
+                      jnp.int32)
+
+    mesh = make_grid_mesh(shape=(2, 4))
+    sh_forcing = shard_grid_inputs(mesh, forcing)
+    sh_lon = shard_grid_inputs(mesh, lon)
+
+    for backend in ("jit", "fused"):
+        kw = dict(fused_interpret=True, fused_block=(8, 128)) \
+            if backend == "fused" else {}
+        ref_out, ref_st = run_series(cfg, forcing, isecday_utc=isd,
+                                     lon=lon, backend=backend, **kw)
+        out, st = sharded_run_series(
+            mesh, cfg, sh_forcing, isecday_utc=isd, lon=sh_lon,
+            backend=backend, block=(8, 128), interpret=True)
+        for name in ("QL", "QH", "Tau_x", "Tau_y", "Evap", "T_s"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref_out, name)),
+                err_msg=f"{backend}:{name}")
+        for name in ("dT_wl", "Hz_wl", "Qnt_ac", "Tau_ac"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st, name)),
+                np.asarray(getattr(ref_st, name)),
+                err_msg=f"{backend}:state.{name}")
+
+
 def test_fused_mixed_step_matches_jit_path():
     """fused_mixed_step == flux_step_mixed (interpret mode on CPU)."""
     from aerobulk_tpu.api import flux_step_mixed
