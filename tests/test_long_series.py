@@ -1,0 +1,194 @@
+"""Long-horizon stateful stress (VERDICT r2 item 6).
+
+Two complements to the 5-day oracle of test_oracle_series.py:
+
+* a 30-day (720 hourly records) scalar-oracle parity run spanning ~30
+  dawn resets and repeated accumulator build/drain cycles (overcast and
+  windy days are woven into the forcing to force ``Qnt_ac`` to drain
+  mid-month) — the reference's year-long PAPA workload shape
+  (test_aerobulk_buoy_series_oce.f90:364-537) compressed to a month;
+
+* an fp32-vs-fp64 drift budget for the warm-layer state across the same
+  720 steps: fp32 is the TPU speed path, and the skin schemes integrate
+  O(1e6 J/m^2) accumulators across time — this pins how much the fp32
+  trajectory can wander from the fp64 one over a month of hourly steps
+  (measured values recorded in docs/SCALING.md "fp32 drift budget").
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aerobulk_tpu import constants as c
+from aerobulk_tpu.api import AeroBulkConfig, init_skin_state, run_series
+
+from oracle import HITS, reset_hits
+from oracle import phymbl as oph
+from oracle import turb as otb
+
+NT = 720           # 30 days of hourly records
+NDAYS = NT // 24
+
+
+def _month_forcing(npts, seed=404):
+    """30 days of hourly forcing with real day-to-day weather variety:
+    clear days (warm layer builds), overcast days (net cooling drains the
+    accumulator), and wind bursts (momentum accumulator growth)."""
+    rng = np.random.default_rng(seed)
+    lon = np.linspace(0.0, 325.0, npts)             # spread of solar lags
+    sst0 = 287.0 + 10.0 * rng.random(npts)
+
+    hours = np.arange(NT)
+    day = hours // 24
+    isecday = ((hours % 24) * 3600 + 1800).astype(int)
+
+    # day-to-day solar amplitude: every 4th day heavily overcast
+    amp = 850.0 - 700.0 * (day % 4 == 3) + 80.0 * rng.standard_normal(NDAYS)[day]
+    amp = np.maximum(amp, 60.0)
+    # wind: calm baseline with 2-day bursts
+    wind_base = 2.0 + 9.0 * (day % 7 >= 5) + 2.0 * rng.random(NT)
+
+    f = {}
+    f["sst"] = (sst0[None, :] + 0.8 * np.sin(hours / 96.0)[:, None]
+                + 0.05 * rng.normal(size=(NT, npts)))
+    f["t_zt"] = (f["sst"] + 1.5 * np.sin(2 * np.pi * hours / 24.0)[:, None]
+                 + rng.normal(0.0, 1.0, (NT, npts)))
+    f["slp"] = 99000.0 + 3000.0 * rng.random((NT, npts))
+    f["hum_zt"] = np.array(
+        [[0.6 * oph.q_sat(f["t_zt"][t, i], f["slp"][t, i])
+          for i in range(npts)] for t in range(NT)])
+    f["U_zu"] = wind_base[:, None] + 1.5 * rng.random((NT, npts))
+    f["V_zu"] = rng.normal(0.0, 2.0, (NT, npts))
+    loc_h = (hours[:, None] + lon[None, :] / 15.0) % 24.0
+    f["rad_sw"] = amp[:, None] * np.maximum(
+        0.0, np.sin(np.pi * (loc_h - 6.0) / 12.0))
+    f["rad_lw"] = 260.0 + 140.0 * rng.random((NT, npts))
+    return f, isecday, lon
+
+
+@pytest.mark.slow
+def test_oracle_series_30day_coare_skin():
+    """720-step scalar-chain parity at 1e-12, with asserted dawn resets,
+    builds, drains, and commits along the way."""
+    npts = 1
+    f, isecday, lon = _month_forcing(npts)
+
+    cfg = AeroBulkConfig(algo="coare3p6", zt=2.0, zu=10.0, niter=5,
+                         use_skin=True)
+    forcing = {k: jnp.asarray(v) for k, v in f.items()}
+    outs, final_state = run_series(
+        cfg, forcing, isecday_utc=jnp.asarray(isecday),
+        lon=jnp.asarray(lon),
+        skin_state=init_skin_state(cfg, (npts,), jnp.float64))
+
+    reset_hits()
+    ql = np.zeros((NT, npts))
+    dtwl = np.zeros((NT, npts))
+    states = [(0.0, 20.0, 0.0, 0.0)] * npts
+    for t in range(NT):
+        for i in range(npts):
+            q = f["hum_zt"][t, i]
+            wnd = math.sqrt(f["U_zu"][t, i] ** 2 + f["V_zu"][t, i] ** 2)
+            ssq = c.rdct_qsat_salt * oph.q_sat(f["sst"][t, i],
+                                               f["slp"][t, i])
+            theta = oph.theta_from_z_p0_t_q(2.0, f["slp"][t, i],
+                                            f["t_zt"][t, i], q)
+            out, states[i] = otb.turb_coare_sc(
+                "coare3p6", 2.0, 10.0, f["sst"][t, i], theta, ssq, q, wnd,
+                niter=5, use_cs=True, use_wl=True,
+                Qsw=(1.0 - c.roce_alb0) * f["rad_sw"][t, i],
+                rad_lw=f["rad_lw"][t, i], slp=f["slp"][t, i],
+                isecday_utc=int(isecday[t]), lon=lon[i],
+                wl_state=states[i])
+            _, _, QL, _, _ = oph.bulk_formula(
+                10.0, out["T_s"], out["q_s"], out["t_zu"], out["q_zu"],
+                out["Cd"], out["Ch"], out["Ce"], wnd, out["Ubzu"],
+                f["slp"][t, i])
+            ql[t, i] = QL
+            dtwl[t, i] = out["dT_wl"]
+
+    np.testing.assert_allclose(np.asarray(outs.QL), ql, rtol=1e-12,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(outs.diag.dT_wl), dtwl,
+                               rtol=1e-12, atol=1e-13)
+    exp_state = np.array(states)
+    np.testing.assert_allclose(np.asarray(final_state.Qnt_ac),
+                               exp_state[:, 2], rtol=1e-12, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(final_state.Tau_ac),
+                               exp_state[:, 3], rtol=1e-12, atol=1e-10)
+
+    # a month must exercise the full state machine repeatedly
+    assert HITS["wl_dawn_reset"] >= 20, dict(HITS)   # ~30 dawns
+    assert HITS["wl_built"] >= 100, dict(HITS)
+    assert HITS["wl_drained"] >= 1, dict(HITS)       # overcast days drain
+    assert HITS["wl_commit"] >= 500, dict(HITS)
+    assert np.any(dtwl > 0.05), "no warm layer ever built in 30 days"
+
+
+def _fp32_vs_fp64_month(algo):
+    npts = 6
+    f, isecday, lon = _month_forcing(npts, seed=405)
+    cfg = AeroBulkConfig(algo=algo, zt=2.0, zu=10.0, niter=5,
+                         use_skin=True)
+
+    def run(dtype):
+        forcing = {k: jnp.asarray(v, dtype) for k, v in f.items()}
+        outs, final_state = run_series(
+            cfg, forcing, isecday_utc=jnp.asarray(isecday),
+            lon=jnp.asarray(lon, dtype),
+            skin_state=init_skin_state(cfg, (npts,), dtype))
+        return outs, final_state
+
+    o64, s64 = run(jnp.float64)
+    o32, s32 = run(jnp.float32)
+    return o64, s64, o32, s32
+
+
+def test_fp32_state_drift_budget_720_steps():
+    """fp32 (the TPU speed path) vs fp64 across 720 hourly stateful steps:
+    the warm-layer state must track within the documented budget — i.e.
+    fp32's 24-bit mantissa carries the O(1e6 J/m^2) accumulators through a
+    month of build/reset cycles without runaway drift.  The daily dawn
+    reset is the stabilizing mechanism: errors cannot compound past ~24 h.
+
+    Budgets are measured-plus-margin (values recorded in docs/SCALING.md
+    "fp32 drift budget"); a regression here means the fp32 path's state
+    integration degraded.
+    """
+    o64, s64, o32, s32 = _fp32_vs_fp64_month("coare3p6")
+
+    # final-state drift
+    d_qac = np.max(np.abs(np.asarray(s32.Qnt_ac, np.float64)
+                          - np.asarray(s64.Qnt_ac)))
+    d_tac = np.max(np.abs(np.asarray(s32.Tau_ac, np.float64)
+                          - np.asarray(s64.Tau_ac)))
+    d_dtwl = np.max(np.abs(np.asarray(s32.dT_wl, np.float64)
+                           - np.asarray(s64.dT_wl)))
+
+    # trajectory drift (worst record anywhere in the month)
+    t_dtwl = np.max(np.abs(np.asarray(o32.diag.dT_wl, np.float64)
+                           - np.asarray(o64.diag.dT_wl)))
+    t_ql = np.max(np.abs(np.asarray(o32.QL, np.float64)
+                         - np.asarray(o64.QL)))
+    t_qh = np.max(np.abs(np.asarray(o32.QH, np.float64)
+                         - np.asarray(o64.QH)))
+
+    print(f"\nfp32 drift over {NT} steps: Qnt_ac {d_qac:.3g} J/m^2, "
+          f"Tau_ac {d_tac:.3g} N.s/m^2, dT_wl(final) {d_dtwl:.3g} K, "
+          f"dT_wl(traj) {t_dtwl:.3g} K, QL(traj) {t_ql:.3g} W/m^2, "
+          f"QH(traj) {t_qh:.3g} W/m^2")
+
+    # measured 2026-08 (seed 405, CPU): Qnt_ac 36.2 J/m^2, Tau_ac 1.1e-3,
+    # dT_wl(final) 3.1e-8 K, dT_wl(traj) 1.3e-6 K, QL/QH(traj) < 2.5e-3
+    # W/m^2 — i.e. NO regime-boundary flips occurred and roundoff stayed
+    # dawn-reset-bounded.  Budgets are ~100x measured: a failure here
+    # means either real degradation of the fp32 state integration or a
+    # platform change flipping a physical branch (both worth surfacing).
+    assert d_qac < 4e3, d_qac          # <0.1% of the O(5e6) accumulator
+    assert d_tac < 0.1, d_tac
+    assert d_dtwl < 1e-5, d_dtwl
+    assert t_dtwl < 1e-4, t_dtwl
+    assert t_ql < 0.5, t_ql
+    assert t_qh < 0.5, t_qh
