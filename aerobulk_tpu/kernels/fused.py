@@ -277,7 +277,11 @@ def fused_flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
 
     Numerics: identical math, but fp32 rounding differs from the XLA path
     (op ordering + the Pallas-safe arctan/cbrt), so individual points near
-    branch thresholds can diverge; median relative difference is ~5e-5.
+    branch thresholds can diverge; median relative difference is ~5e-5 and
+    the physically significant tail (abs error > 10% of the field median)
+    is ~2 points per million — fully root-caused in docs/PARITY.md
+    "The fp32 tail" (denominator conditioning at the QH zero contour +
+    warm-layer regime-boundary flips; tools/fp32_tail.py reproduces).
     ``interpret=True`` runs the kernel through the Pallas interpreter
     (exact jnp semantics, slow); the default ``interpret=None``
     auto-selects interpreter mode on CPU backends so

@@ -97,24 +97,52 @@ def parity_check(cfg, args, state, shape, dtype):
     names = ("QL", "QH", "Tau_x", "Tau_y", "Evap", "T_s")
     rels = []
     per_var = {}
+    frac_by_var = {}
+    sig_fracs = []
     for name, a, b in zip(names, got, ref):
         a = np.asarray(a, np.float64)
         b = np.asarray(b, np.float64)
-        scale = np.maximum(np.abs(b), 1e-3 * float(np.median(np.abs(b))
-                                                   + 1e-30))
+        med = float(np.median(np.abs(b)) + 1e-30)
+        scale = np.maximum(np.abs(b), 1e-3 * med)
         r = np.abs(a - b) / scale
+        d = np.abs(a - b)
+        # tail accounting (VERDICT r2 item 1).  Two views:
+        #  * pointwise-relative (r): ill-conditioned where the flux
+        #    crosses zero (QH's stable/unstable contour) — a 0.03 W/m^2
+        #    wobble at a |QH|=0.005 W/m^2 point reads as rel~6;
+        #  * SIGNIFICANT divergence: abs error above 1% / 10% of the
+        #    field's median magnitude — the physically meaningful tail
+        #    (root-caused in docs/PARITY.md: warm-layer regime-boundary
+        #    flips at the Qabs<=0 terminator / drain / dawn thresholds).
+        frac_by_var[name] = {
+            "rel_gt_1e2": float(np.mean(r > 1e-2)),
+            "abs_gt_1pct_median": float(np.mean(d > 0.01 * med)),
+            "abs_gt_10pct_median": float(np.mean(d > 0.1 * med)),
+            "max_abs": float(np.max(d)),
+            "median_abs_of_field": med,
+        }
         per_var[name] = float(np.max(r))
+        sig_fracs.append(frac_by_var[name]["abs_gt_10pct_median"])
         rels.append(r.ravel())
     rel = np.concatenate(rels)
+    frac_sig = float(np.max(sig_fracs))
     fields = {
         "parity_median_rel": float(np.median(rel)),
         "parity_p99_rel": float(np.percentile(rel, 99)),
         "parity_max_rel": float(np.max(rel)),
         "parity_max_by_var": {k: round(v, 8) for k, v in per_var.items()},
-        # fp32 gate: median must stay at fp32-roundoff scale; isolated
-        # branch-threshold points may diverge (documented, kernels/fused.py)
-        "parity_ok": bool(np.median(rel) < 1e-3
-                          and np.percentile(rel, 99) < 5e-2),
+        "parity_frac_by_var": frac_by_var,
+        "parity_worst_frac_abs_gt_10pct_median": frac_sig,
+        # fp32 gate at measured+margin (tools/fp32_tail.py, 2026-08-19:
+        # median 4.4e-5, p99 6.9e-3; QH max ABS error 1.3 W/m^2 against a
+        # 12.5 W/m^2 median).  The bulk must sit at fp32-roundoff scale
+        # and the SIGNIFICANT tail (abs > 10% of the field median) must
+        # stay a vanishing fraction; the pointwise-relative max is
+        # reported but not gated — it measures denominator conditioning,
+        # not kernel correctness (docs/PARITY.md "fp32 tail").
+        "parity_ok": bool(np.median(rel) < 2e-4
+                          and np.percentile(rel, 99) < 2e-2
+                          and frac_sig < 2e-3),
     }
     return fields
 
@@ -420,16 +448,25 @@ def main_bf16():
                  ("U_zu", "u"), ("V_zu", "v"), ("slp", "slp"))
         cfg = AeroBulkConfig(algo=algo, niter=NITER, use_skin=False)
 
+        inner = 128 if nt * shape[0] * shape[1] < 3e6 else 32
+
         def mk_run(dtype):
             forcing = {k: f32[n].astype(dtype) for k, n in names}
 
             @jax.jit
             def run(salt, carry):
-                fc = dict(forcing)
-                fc["sst"] = fc["sst"] + salt
-                out, _ = run_series(cfg, fc, batch_records=True)
-                return (out.QL.mean() + out.QH.mean() + out.Tau_x.mean()
-                        + carry * 1e-30)
+                # one dispatch = `inner` serially-dependent whole-batch
+                # solves — same chaining as stateless_batched; a single
+                # solve is too small against the ~30 ms tunnel dispatch
+                # overhead for the slope to resolve reliably.
+                def body(c, _):
+                    fc = dict(forcing)
+                    fc["sst"] = fc["sst"] + salt + c * 1e-30
+                    out, _ = run_series(cfg, fc, batch_records=True)
+                    return (out.QL.mean() + out.QH.mean()
+                            + out.Tau_x.mean() + c * 1e-30), None
+                c, _ = jax.lax.scan(body, carry, None, length=inner)
+                return c
 
             @jax.jit
             def outputs():
@@ -457,7 +494,7 @@ def main_bf16():
                 c = run16(c * 1e-30 + jnp.bfloat16(i) * 1e-6, c)
             return c
 
-        dt_s = _slope_time(chained)
+        dt_s = _slope_time(chained) / inner
         pts = nt * shape[0] * shape[1] / dt_s
         print(json.dumps({
             "metric": name, "value": round(pts, 1), "unit": "points/s",
