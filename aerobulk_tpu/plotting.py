@@ -17,7 +17,7 @@ import json
 import numpy as np
 
 __all__ = ["plot_cx_wind", "plot_coef_n10", "plot_psi_profiles",
-           "plot_station_series", "plot_ice_cdn"]
+           "plot_station_series", "plot_ice_cdn", "plot_ice_bulk_comp"]
 
 
 def _plt():
@@ -101,6 +101,62 @@ def plot_ice_cdn(json_path: str, out_png: str = "ice_cdn.png"):
     ax.set_ylabel("CdN_f [10^-3]")
     ax.grid(alpha=0.3)
     ax.legend(fontsize=8)
+    fig.savefig(out_png, bbox_inches="tight")
+    plt.close(fig)
+    return out_png
+
+
+def plot_ice_bulk_comp(nc_paths: dict, out_png: str = "ice_bulk_comp.png",
+                       variables=("Qlat", "Qsen", "Tau"),
+                       anomalies=True):
+    """Multi-algorithm ice bulk-series comparison
+    (plot_ice_bulk_comp.py analogue,
+    /root/reference/python/plot_tests/plot_ice_bulk_comp.py).
+
+    ``nc_paths`` maps a label per ice algorithm (e.g. ``"nemo"``,
+    ``"an05"``, ``"lu12"``, ``"lg15"``) to the NetCDF series file written
+    by ``cli series --algo ice_*``.  For each variable, every algorithm's
+    trajectory is overlaid; with ``anomalies=True`` a second panel per
+    variable shows each algorithm minus the first label's trajectory
+    (the reference's L_ANOM panels).
+    """
+    plt = _plt()
+    from . import io as abio
+
+    data = {name: abio.read_forcing(p) for name, p in nc_paths.items()}
+    names = list(data)
+    base = names[0]
+    t = np.asarray(data[base].get(
+        "time", np.arange(len(np.asarray(next(iter(data[base].values())))))))
+    t_days = (np.asarray(t, np.float64) - float(t[0])) / 86400.0
+
+    rows = len(variables) * (2 if anomalies else 1)
+    fig, axes = plt.subplots(rows, 1, figsize=(13, 2.4 * rows), dpi=100,
+                             sharex=True)
+    axes = np.atleast_1d(axes)
+    r = 0
+    for v in variables:
+        ax = axes[r]
+        for name in names:
+            if v in data[name]:
+                ax.plot(t_days, np.asarray(data[name][v]).reshape(len(t), -1)
+                        [:, 0], lw=0.9, label=name)
+        ax.set_ylabel(v)
+        ax.grid(alpha=0.3)
+        if r == 0:
+            ax.legend(fontsize=8, ncol=len(names))
+        r += 1
+        if anomalies:
+            ax = axes[r]
+            ref = np.asarray(data[base][v]).reshape(len(t), -1)[:, 0]
+            for name in names[1:]:
+                if v in data[name]:
+                    cur = np.asarray(data[name][v]).reshape(len(t), -1)[:, 0]
+                    ax.plot(t_days, cur - ref, lw=0.9, label=name)
+            ax.set_ylabel(f"{v} - {base}")
+            ax.grid(alpha=0.3)
+            r += 1
+    axes[-1].set_xlabel("days")
     fig.savefig(out_png, bbox_inches="tight")
     plt.close(fig)
     return out_png

@@ -39,6 +39,35 @@ def test_cli_ice_series(tmp_path):
     assert np.all(np.asarray(back["Cd"]) > 1e-4)
 
 
+def test_plot_ice_bulk_comp(tmp_path):
+    """Multi-algo ice series -> comparison figure (the reference's
+    plot_ice_bulk_comp.py workflow: one series file per ice algorithm)."""
+    import os
+
+    from aerobulk_tpu import plotting
+
+    nt = 8
+    forcing = str(tmp_path / "ice_forcing.npz")
+    np.savez(forcing,
+             sst=np.full(nt, 258.0),
+             t_air=np.full(nt, 255.0),
+             q_air=np.full(nt, 0.0008),
+             wndspd=np.linspace(3, 10, nt),
+             msl=np.full(nt, 100000.0),
+             frice=np.full(nt, 0.85),
+             time=np.arange(nt) * 3600.0)
+    paths = {}
+    for algo in ("ice_nemo", "ice_an05", "ice_lg15"):
+        out = str(tmp_path / f"series_{algo}.nc")
+        main(["series", forcing, "--algo", algo, "--niter", "5",
+              "--out", out])
+        paths[algo.removeprefix("ice_")] = out
+
+    png = plotting.plot_ice_bulk_comp(
+        paths, str(tmp_path / "ice_bulk_comp.png"))
+    assert os.path.getsize(png) > 10000
+
+
 def test_cli_oce_ice_toy(capsys):
     from aerobulk_tpu.cli import main
     main(["oce-ice-toy", "--frice", "0.7", "--niter", "6"])
