@@ -33,6 +33,11 @@ from .base import FluxResult
 
 _ZI0 = 600.0          # ABL scale height          (mod_blk_coare3p6.f90:61)
 _ZETA_ABS_MAX = 50.0  # |zeta| cap                (mod_blk_coare3p6.f90:63)
+# constant divides folded into multiplies (<=1 ulp each, 1e-12
+# oracle-gated; a VPU divide costs multiple issue slots — ROOFLINE.json)
+_M_ZI0_OV_K = -_ZI0 / c.vkarmn
+_INV_K = 1.0 / c.vkarmn
+_INV_G = 1.0 / c.grav
 
 
 class _Version(NamedTuple):
@@ -134,7 +139,7 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
 
         # gustiness, Fairall et al. 2003 Eq. 8
         gust2 = (ver.beta0 * ver.beta0 * us2
-                 * jnp.maximum(-_ZI0 * one_on_L / c.vkarmn, 0.0) ** (2.0 / 3.0))
+                 * jnp.maximum(one_on_L * _M_ZI0_OV_K, 0.0) ** (2.0 / 3.0))
         Ub = jnp.maximum(jnp.sqrt(U_zu * U_zu + gust2), 0.2)
 
         zeta_u = clip_mag(zu * one_on_L, _ZETA_ABS_MAX)
@@ -142,12 +147,12 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
             zeta_t = clip_mag(zt * one_on_L, _ZETA_ABS_MAX)
 
         # roughness lengths (z0 from previous-iteration log_z0 via UN10)
-        Un10 = us / c.vkarmn * (log_10 - log_z0)
+        Un10 = us * _INV_K * (log_10 - log_z0)
         if wave_hs is not None and wave_cp is not None:
             charn = charn_coare3p6_wave(us, wave_hs, wave_cp)
         else:
             charn = ver.charn(Un10)
-        z0 = charn * us2 / c.grav + 0.11 * nu_a / us
+        z0 = charn * us2 * _INV_G + 0.11 * nu_a / us
         z0 = jnp.minimum(jnp.maximum(jnp.abs(z0), 1.0e-9), 1.0)
         log_z0 = jnp.log(z0)
 
@@ -166,8 +171,8 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
 
         if not zt_eq_zu:
             prf = log_zt - log_zu + psi_h_u - psi_h_coare(zeta_t)
-            t_zu = t_zt - ts / c.vkarmn * prf
-            q_zu = q_zt - qs / c.vkarmn * prf
+            t_zu = t_zt - ts * _INV_K * prf
+            q_zu = q_zt - qs * _INV_K * prf
 
         if use_cs:
             Qns, _Tau, Qlat = update_qnsol_tau(
@@ -218,7 +223,7 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
         Cd=Cd, Ch=Ch, Ce=Ce, t_zu=t_zu, q_zu=q_zu, Ubzu=Ub,
         T_s=T_s, q_s=q_s,
         CdN=CdN, ChN=CxN, CeN=CxN, z0=z0, u_star=us,
-        L=1.0 / one_on_L, UN10=us / c.vkarmn * (log_10 - log_z0),
+        L=1.0 / one_on_L, UN10=us * _INV_K * (log_10 - log_z0),
         dT_cs=dT_cs, dT_wl=state.dT_wl, Hz_wl=state.Hz_wl), state
 
 

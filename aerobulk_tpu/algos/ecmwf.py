@@ -27,6 +27,10 @@ _BETA0 = 1.0           # gustiness parameter       (mod_blk_ecmwf.f90:54)
 _ALPHA_M = 0.11        # smooth-surface z0 term    (mod_blk_ecmwf.f90:55)
 _ALPHA_H = 0.40        # z0t term                  (mod_blk_ecmwf.f90:56)
 _ALPHA_Q = 0.62        # z0q term                  (mod_blk_ecmwf.f90:57)
+# constant divides folded into multiplies (<=1 ulp, 1e-12 oracle-gated)
+_M_ZI0_OV_K = -_ZI0 / c.vkarmn
+_INV_K = 1.0 / c.vkarmn
+_CHARN0_OV_G = CHARN0_ECMWF / c.grav
 
 
 def turb_ecmwf(zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
@@ -86,8 +90,9 @@ def turb_ecmwf(zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
     for _ in range(niter):
         Rib = ri_bulk(zu, T_s, t_zu, q_s, q_zu, Ub)
 
-        # IFS Eq. 3.23: invert Ri_bulk for 1/L
-        one_on_L = clip_mag(Rib * Fm * Fm / Fh / zu, 200.0)
+        # IFS Eq. 3.23: invert Ri_bulk for 1/L  (zu is a static float, so
+        # the trailing divide folds into a constant multiply)
+        one_on_L = clip_mag(Rib * Fm * Fm / Fh * (1.0 / zu), 200.0)
 
         zeta_u = zu * one_on_L
         psi_m_u = psi_m_ecmwf(zeta_u)
@@ -101,7 +106,7 @@ def turb_ecmwf(zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
         us2 = us * us
         nu_on_us = nu_a / us
         z0 = jnp.minimum(jnp.abs(_ALPHA_M * nu_on_us
-                                 + CHARN0_ECMWF * us2 / c.grav), 0.001)
+                                 + us2 * _CHARN0_OV_G), 0.001)
         z0t = jnp.minimum(jnp.abs(_ALPHA_H * nu_on_us), 0.001)
         z0q = jnp.minimum(jnp.abs(_ALPHA_Q * nu_on_us), 0.001)
         log_z0 = jnp.log(z0)
@@ -114,19 +119,19 @@ def turb_ecmwf(zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
 
         # gustiness (IFS Cy31r1 Eq. 3.17/3.18 + 3.8)
         gust2 = (_BETA0 * _BETA0 * us2
-                 * jnp.maximum(-_ZI0 * one_on_L / c.vkarmn, 0.0) ** (2.0 / 3.0))
+                 * jnp.maximum(one_on_L * _M_ZI0_OV_K, 0.0) ** (2.0 / 3.0))
         Ub = jnp.maximum(jnp.sqrt(U_zu * U_zu + gust2), 0.2)
 
         # scalar profiles & height adjustment
         dpsi_t = psi_h_u - psi_h_z0t
         ts = dt * c.vkarmn / (log_zu - log_z0t - dpsi_t)
-        t_zu = t_zt - m_ztzu * ts / c.vkarmn * (
+        t_zu = t_zt - m_ztzu * ts * _INV_K * (
             log_ztu + dpsi_t - psi_h_t + psi_h_z0t)
 
         dpsi_q = psi_h_u - psi_h_z0q
         qs = dq * c.vkarmn / (log_zu - log_z0q - dpsi_q)
         q_zu = jnp.maximum(
-            q_zt - m_ztzu * qs / c.vkarmn * (
+            q_zt - m_ztzu * qs * _INV_K * (
                 log_ztu + dpsi_q - psi_h_t + psi_h_z0q), 0.0)
 
         Fm = log_zu - log_z0 - psi_m_u + psi_m_z0
@@ -166,5 +171,5 @@ def turb_ecmwf(zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
         Cd=Cd, Ch=Ch, Ce=Ce, t_zu=t_zu, q_zu=q_zu, Ubzu=Ub,
         T_s=T_s, q_s=q_s,
         CdN=CdN, ChN=CxN, CeN=CxN, z0=z0, u_star=us,
-        L=1.0 / one_on_L, UN10=us / c.vkarmn * (log_10 - log_z0),
+        L=1.0 / one_on_L, UN10=us * _INV_K * (log_10 - log_z0),
         dT_cs=dT_cs, dT_wl=state.dT_wl, Hz_wl=state.Hz_wl), state

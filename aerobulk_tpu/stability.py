@@ -33,21 +33,27 @@ __all__ = [
 # COARE (Kansas + convective blend; Beljaars-Holtslag stable)
 # ---------------------------------------------------------------------------
 
+_INV_3 = 1.0 / 3.0
+_INV_SQRT3 = 1.0 / 1.7320508
+
+
 def psi_m_coare(zeta):
     """COARE psi_m (mod_common_coare.f90:217-254).
 
-    ``|1-15z|**0.25`` is strength-reduced to sqrt(sqrt(.)) — two
-    correctly-rounded sqrts instead of a generic pow (the VPU's most
-    expensive primitive, docs/ROOFLINE.json); agreement with the scalar
-    oracle's libm pow is ulp-level (asserted at 1e-12 by the oracle
-    tests)."""
+    Strength reductions (each <=1-2 ulp vs the literal form, gated by
+    the 1e-12 oracle tests; docs/ROOFLINE.json shows the kernel is
+    VPU-issue-bound and divides cost multiple slots):
+      * ``|1-15z|**0.25`` -> sqrt(sqrt(.));
+      * ``/2`` -> ``*0.5`` (exact), ``/3`` and ``/sqrt(3)`` -> constant
+        multiplies;
+      * ``x/exp(cc)`` -> ``x*exp(-cc)``."""
     phi_m = jnp.sqrt(jnp.sqrt(jnp.abs(1.0 - 15.0 * zeta)))
-    psi_k = (2.0 * jnp.log((1.0 + phi_m) / 2.0)
-             + jnp.log((1.0 + phi_m * phi_m) / 2.0)
+    psi_k = (2.0 * jnp.log((1.0 + phi_m) * 0.5)
+             + jnp.log((1.0 + phi_m * phi_m) * 0.5)
              - 2.0 * arctan(phi_m) + 0.5 * rpi)
     phi_c = jnp.abs(1.0 - 10.15 * zeta) ** 0.3333
-    psi_c = (1.5 * jnp.log((1.0 + phi_c + phi_c * phi_c) / 3.0)
-             - 1.7320508 * arctan((1.0 + 2.0 * phi_c) / 1.7320508)
+    psi_c = (1.5 * jnp.log((1.0 + phi_c + phi_c * phi_c) * _INV_3)
+             - 1.7320508 * arctan((1.0 + 2.0 * phi_c) * _INV_SQRT3)
              + 1.813799447)
     f = zeta * zeta
     f = f / (1.0 + f)
@@ -55,30 +61,30 @@ def psi_m_coare(zeta):
     stb = step(zeta)
     return ((1.0 - stb) * ((1.0 - f) * psi_k + f * psi_c)
             - stb * (1.0 + zeta
-                     + 0.6667 * (zeta - 14.28) / jnp.exp(cc) + 8.525))
+                     + 0.6667 * (zeta - 14.28) * jnp.exp(-cc) + 8.525))
 
 
 def psi_h_coare(zeta):
     """COARE psi_h (mod_common_coare.f90:305-344).
 
-    ``**0.5`` -> sqrt and ``**1.5`` -> x*sqrt(x): same strength
-    reduction as :func:`psi_m_coare` (ulp-level vs libm pow, gated by
-    the 1e-12 oracle tests)."""
+    ``**0.5`` -> sqrt and ``**1.5`` -> x*sqrt(x), plus the same
+    constant-divide and 1/exp reductions as :func:`psi_m_coare`
+    (ulp-level vs the literal form, gated by the 1e-12 oracle tests)."""
     phi_h = jnp.sqrt(jnp.abs(1.0 - 15.0 * zeta))
-    psi_k = 2.0 * jnp.log((1.0 + phi_h) / 2.0)
+    psi_k = 2.0 * jnp.log((1.0 + phi_h) * 0.5)
     phi_c = jnp.abs(1.0 - 34.15 * zeta) ** 0.3333
-    psi_c = (1.5 * jnp.log((1.0 + phi_c + phi_c * phi_c) / 3.0)
-             - 1.7320508 * arctan((1.0 + 2.0 * phi_c) / 1.7320508)
+    psi_c = (1.5 * jnp.log((1.0 + phi_c + phi_c * phi_c) * _INV_3)
+             - 1.7320508 * arctan((1.0 + 2.0 * phi_c) * _INV_SQRT3)
              + 1.813799447)
     f = zeta * zeta
     f = f / (1.0 + f)
     cc = jnp.minimum(50.0, 0.35 * zeta)
     stb = step(zeta)
-    x32 = jnp.abs(1.0 + 2.0 * zeta / 3.0)
+    x32 = jnp.abs(1.0 + zeta * (2.0 / 3.0))
     x32 = x32 * jnp.sqrt(x32)
     return ((1.0 - stb) * ((1.0 - f) * psi_k + f * psi_c)
             - stb * (x32
-                     + 0.6667 * (zeta - 14.28) / jnp.exp(cc) + 8.525))
+                     + 0.6667 * (zeta - 14.28) * jnp.exp(-cc) + 8.525))
 
 
 # ---------------------------------------------------------------------------
@@ -131,13 +137,18 @@ def psi_m_ecmwf(zeta):
 
 
 def psi_h_ecmwf(zeta):
-    """ECMWF psi_h (mod_blk_ecmwf.f90:498-533)."""
+    """ECMWF psi_h (mod_blk_ecmwf.f90:498-533).
+
+    ``**1.5`` -> x*sqrt(x) (ulp-level vs generic pow, 1e-12
+    oracle-gated)."""
     zc = 5.0 / 0.35
     zta = _cap_zeta_ecmwf(zeta)
     x2 = jnp.sqrt(jnp.abs(1.0 - 16.0 * zta))
     psi_unst = 2.0 * jnp.log(0.5 * (1.0 + x2))
+    x32 = jnp.abs(1.0 + 2.0 / 3.0 * zta)
+    x32 = x32 * jnp.sqrt(x32)
     psi_stab = (-2.0 / 3.0 * (zta - zc) * jnp.exp(-0.35 * zta)
-                - jnp.abs(1.0 + 2.0 / 3.0 * zta) ** 1.5 - 2.0 / 3.0 * zc + 1.0)
+                - x32 - 2.0 / 3.0 * zc + 1.0)
     stb = step(zta)
     return stb * psi_stab + (1.0 - stb) * psi_unst
 

@@ -32,6 +32,7 @@ __all__ = [
     "qlw_net", "z0_from_cd", "z0_from_ustar", "cd_from_z0", "f_m_louis",
     "f_h_louis", "un10_from_ustar", "un10_from_cdn", "un10_from_cd",
     "z0tq_lkb", "e_air", "rh_air", "delta_skin_layer",
+    "skin_layer_coefs", "delta_skin_layer_from_coefs",
 ]
 
 # Goff-formula constants over ice (mod_phymbl.f90:143-148)
@@ -92,10 +93,16 @@ def virt_temp(Ta, qa):
 
 def pz_from_p0_tz_qz(z, slp, Ta, qa, l_ice=False):
     """Barometric pressure at height ``z`` via 3-iteration fixed point
-    (mod_phymbl.f90:283-318)."""
+    (mod_phymbl.f90:283-318).
+
+    The Goff saturation pressure depends only on ``Ta`` — loop-invariant
+    — so it is evaluated once and only the cheap ``q_sat`` quotient is
+    re-derived per iteration (bitwise-identical to calling q_sat thrice;
+    saves 2 of the 3 Goff transcendental chains)."""
+    es = e_sat_ice(Ta) if l_ice else e_sat(Ta)
     pa = slp
     for _ in range(3):
-        qsat = q_sat(Ta, pa, l_ice=l_ice)
+        qsat = c.reps0 * es / (pa - (1.0 - c.reps0) * es)
         f = qa / qsat
         xm = (1.0 - f) * c.rmm_dryair + f * c.rmm_water
         pa = slp * jnp.exp(-c.grav * xm * z / (c.R_gas * Ta))
@@ -195,13 +202,18 @@ def _exp10(x):
 
 def e_sat(Ta):
     """Saturation vapour pressure over water [Pa], Goff 1957
-    (mod_phymbl.f90:777-800).  NB: uses rt0=273.15, as the reference does."""
+    (mod_phymbl.f90:777-800).  NB: uses rt0=273.15, as the reference does.
+
+    ``ta/rt0`` is bound once (the jaxpr census counts each textual
+    occurrence; source-level CSE is bitwise-identical and keeps the
+    Mosaic op stream minimal)."""
     ta = jnp.maximum(Ta, 180.0)
     ztmp = c.rt0 / ta
+    zr = ta / c.rt0
     return 100.0 * _exp10(
         10.79574 * (1.0 - ztmp)
-        - 5.028 * jnp.log10(ta / c.rt0)
-        + 1.50475e-4 * (1.0 - _exp10(-8.2969 * (ta / c.rt0 - 1.0)))
+        - 5.028 * jnp.log10(zr)
+        + 1.50475e-4 * (1.0 - _exp10(-8.2969 * (zr - 1.0)))
         + 0.42873e-3 * (_exp10(4.76955 * (1.0 - ztmp)) - 1.0)
         + 0.78614)
 
@@ -292,8 +304,11 @@ def bulk_formula(zu, ts, qs, Thta, qa, Cd, Ch, Ce, wnd, Ub, slp, l_ice=False):
     exactly as the reference does.
     """
     ta = Thta - c.rgamma_dry * zu       # absolute temperature at zu
-    rho = rho_air(ta, qa, slp)
-    rho = rho_air(ta, qa, slp - rho * c.grav * zu)
+    # two rho_air evaluations share the same denominator; binding it is
+    # bitwise-identical and halves the duplicated arithmetic
+    den = c.R_dry * ta * (1.0 + c.rctv0 * qa)
+    rho = jnp.maximum(slp / den, 0.8)
+    rho = jnp.maximum((slp - rho * c.grav * zu) / den, 0.8)
     Urho = Ub * jnp.maximum(rho, 1.0)
     Tau = Urho * Cd * wnd
     evap = Urho * Ce * (qa - qs)
@@ -441,20 +456,39 @@ def vmean(x):
     return jnp.mean(jnp.asarray(x))
 
 
-def delta_skin_layer(alpha, Qd, ustar_a, Qlat=None):
-    """Thickness of the viscous skin layer, Fairall et al. 1996
-    (mod_phymbl.f90:2010-2046)."""
-    zQd = Qd
-    if Qlat is not None:
-        zQd = Qd + 0.026 * jnp.minimum(Qlat, 0.0) * c.rCp0_w / c.rLevap / alpha
-    ztf = step(zQd)
+def skin_layer_coefs(alpha, ustar_a, Qlat=None):
+    """The Qd-independent pieces of :func:`delta_skin_layer` — hoistable
+    out of the cool-skin fixed-point loop, which re-solves delta 5x with
+    only the absorbed flux changing (mod_skin_{coare,ecmwf}.f90).  The
+    hoisted expressions keep the original association order, so the
+    hoisted evaluation is bitwise-identical to the inline one."""
     usw = jnp.maximum(ustar_a, 1.0e-4) * c.sq_radrw
     usw2 = usw * usw
+    coef_y = alpha * c.rcst_cs / (usw2 * usw2)
+    ztmp = c.rnu0_w / usw
+    corr = None
+    if Qlat is not None:
+        corr = 0.026 * jnp.minimum(Qlat, 0.0) * c.rCp0_w / c.rLevap / alpha
+    return coef_y, ztmp, corr
+
+
+def delta_skin_layer_from_coefs(coefs, Qd):
+    """Viscous-layer thickness for one absorbed-flux value, given
+    precomputed :func:`skin_layer_coefs`."""
+    coef_y, ztmp, corr = coefs
+    zQd = Qd if corr is None else Qd + corr
+    ztf = step(zQd)
     # 6*(1 + y^(3/4))^(-1/3) with the fractional powers decomposed into
     # sqrt/cbrt chains (mathematically identical, cheaper than generic pow
     # on the TPU VPU, and a shorter serial dependency chain)
-    zy = jnp.maximum(alpha * c.rcst_cs / (usw2 * usw2) * zQd, 0.0)
+    zy = jnp.maximum(coef_y * zQd, 0.0)
     zs = jnp.sqrt(zy)
     lamb = 6.0 * inv_cbrt_1p(zs * jnp.sqrt(zs))
-    ztmp = c.rnu0_w / usw
     return (1.0 - ztf) * lamb * ztmp + ztf * jnp.minimum(6.0 * ztmp, 0.007)
+
+
+def delta_skin_layer(alpha, Qd, ustar_a, Qlat=None):
+    """Thickness of the viscous skin layer, Fairall et al. 1996
+    (mod_phymbl.f90:2010-2046)."""
+    return delta_skin_layer_from_coefs(
+        skin_layer_coefs(alpha, ustar_a, Qlat=Qlat), Qd)
