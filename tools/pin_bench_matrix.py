@@ -1,0 +1,59 @@
+"""Record the full bench matrix as a committed artifact (VERDICT r2 item 4).
+
+Runs the three bench modes as subprocesses on the live TPU —
+``bench.py --all`` (the 5 BASELINE workload configs), ``--niter 20`` (the
+reference's converged iteration setting), ``--bf16`` (the rejected bf16
+speed path with its precision budget) — annotates every JSON line with
+provenance, and writes ``docs/BENCH_ALL.json`` (one JSON object per
+line).  SCALING.md cites this artifact instead of prose ranges.
+
+    make bench-matrix        (or: python tools/pin_bench_matrix.py)
+
+Run with an otherwise idle host (slope-timing methodology, bench.py).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+MODES = [
+    ("all", ["--all", "--no-check"]),
+    ("niter20", ["--niter", "20", "--no-check"]),
+    ("bf16", ["--bf16"]),
+]
+
+
+def main():
+    stamp = sys.argv[1] if len(sys.argv) > 1 else "unstamped"
+    out_lines = []
+    for mode, args in MODES:
+        print(f"=== bench.py {' '.join(args)} ===", flush=True)
+        r = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")]
+                           + args, capture_output=True, text=True, cwd=ROOT)
+        if r.returncode != 0:
+            print(r.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"bench mode {mode} failed")
+        for ln in r.stdout.splitlines():
+            ln = ln.strip()
+            if not ln.startswith("{"):
+                continue
+            rec = json.loads(ln)
+            rec["bench_mode"] = mode
+            rec["provenance"] = (
+                f"bench.py {' '.join(args)}; slope-timed (median of 3), "
+                f"idle host; recorded {stamp}")
+            out_lines.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    path = os.path.join(ROOT, "docs", "BENCH_ALL.json")
+    with open(path, "w") as fh:
+        for rec in out_lines:
+            fh.write(json.dumps(rec) + "\n")
+    print(f"wrote {path} ({len(out_lines)} records)")
+
+
+if __name__ == "__main__":
+    main()
