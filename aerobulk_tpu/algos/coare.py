@@ -27,7 +27,7 @@ from ..closures import (charn_coare3p0, charn_coare3p6, charn_coare3p6_wave,
                         first_guess_coare)
 from ..skin import SkinState, cs_coare, init_skin_state_coare, wl_coare
 from ..stability import psi_h_coare, psi_m_coare
-from ..thermo import (clip_mag, nonzero_delta, one_on_l, q_sat,
+from ..thermo import (clip_mag, nonzero_delta, one_on_l, pow23_pos, q_sat,
                       update_qnsol_tau, visc_air)
 from .base import FluxResult
 
@@ -63,7 +63,8 @@ _VERSIONS = {
 def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
                use_cs=False, use_wl=False, Qsw=None, rad_lw=None, slp=None,
                isecday_utc=None, lon=None, skin_state=None,
-               rdt=3600.0, gdept=1.0, wave_hs=None, wave_cp=None):
+               rdt=3600.0, gdept=1.0, wave_hs=None, wave_cp=None,
+               charn_fn=None):
     """Run one COARE bulk-transfer solve.
 
     Args:
@@ -89,11 +90,19 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
         replaced by the wave-state closure (COARE 3.5, Edson et al. 2013
         Eq. 16 — present but unwired in the reference,
         mod_blk_coare3p6.f90:447-462).
+      charn_fn: optional custom Charnock closure ``alpha(wind)`` replacing
+        the version's built-in law (charn_coare3p0/3p6).  May close over
+        traced parameters — the whole solve is differentiable w.r.t. them,
+        enabling gradient-based calibration of the Charnock law against
+        flux observations (examples/calibrate_charnock.py; no reference
+        equivalent).  Wave inputs, when given, still take precedence
+        inside the iteration, as in COARE 3.5.
 
     Returns:
       (FluxResult, SkinState)
     """
     ver = _VERSIONS[version]
+    charn_of_wind = charn_fn if charn_fn is not None else ver.charn
     zt_eq_zu = abs(zu - zt) < 0.01
 
     log_10 = math.log(10.0)
@@ -120,7 +129,7 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
         q_s = c.rdct_qsat_salt * q_sat(jnp.maximum(T_s, 200.0), slp)
 
     fg = first_guess_coare(zt, zu, T_s, t_zt, q_s, q_zt, U_zu,
-                           ver.charn(U_zu))
+                           charn_of_wind(U_zu))
     us, ts, qs = fg.us, fg.ts, fg.qs
     t_zu, q_zu, Ub = fg.t_zu, fg.q_zu, fg.Ubzu
     z0 = fg.z0
@@ -137,9 +146,10 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
         one_on_L = one_on_l(t_zu, q_zu, us, ts, qs)
         one_on_L = clip_mag(one_on_L, 200.0)
 
-        # gustiness, Fairall et al. 2003 Eq. 8
+        # gustiness, Fairall et al. 2003 Eq. 8 (grad-safe clamped power —
+        # forward-identical to MAX(.,0)**(2/3), thermo.pow23_pos)
         gust2 = (ver.beta0 * ver.beta0 * us2
-                 * jnp.maximum(one_on_L * _M_ZI0_OV_K, 0.0) ** (2.0 / 3.0))
+                 * pow23_pos(one_on_L * _M_ZI0_OV_K))
         Ub = jnp.maximum(jnp.sqrt(U_zu * U_zu + gust2), 0.2)
 
         zeta_u = clip_mag(zu * one_on_L, _ZETA_ABS_MAX)
@@ -151,7 +161,7 @@ def turb_coare(version, zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
         if wave_hs is not None and wave_cp is not None:
             charn = charn_coare3p6_wave(us, wave_hs, wave_cp)
         else:
-            charn = ver.charn(Un10)
+            charn = charn_of_wind(Un10)
         z0 = charn * us2 * _INV_G + 0.11 * nu_a / us
         z0 = jnp.minimum(jnp.maximum(jnp.abs(z0), 1.0e-9), 1.0)
         log_z0 = jnp.log(z0)

@@ -17,8 +17,8 @@ from .. import constants as c
 from ..closures import first_guess_coare
 from ..skin import SkinState, cs_ecmwf, init_skin_state_ecmwf, wl_ecmwf
 from ..stability import psi_h_ecmwf, psi_m_ecmwf
-from ..thermo import (clip_mag, nonzero_delta, one_on_l, q_sat, ri_bulk,
-                      update_qnsol_tau, visc_air)
+from ..thermo import (clip_mag, nonzero_delta, one_on_l, pow23_pos, q_sat,
+                      ri_bulk, update_qnsol_tau, visc_air)
 from .base import FluxResult
 
 CHARN0_ECMWF = 0.018   # IFS Charnock constant     (mod_blk_ecmwf.f90:51)
@@ -117,9 +117,10 @@ def turb_ecmwf(zt, zu, T_s, t_zt, q_s, q_zt, U_zu, niter=5,
         psi_h_z0t = psi_h_ecmwf(z0t * one_on_L)
         psi_h_z0q = psi_h_ecmwf(z0q * one_on_L)
 
-        # gustiness (IFS Cy31r1 Eq. 3.17/3.18 + 3.8)
+        # gustiness (IFS Cy31r1 Eq. 3.17/3.18 + 3.8; grad-safe clamped
+        # power — forward-identical to MAX(.,0)**(2/3), thermo.pow23_pos)
         gust2 = (_BETA0 * _BETA0 * us2
-                 * jnp.maximum(one_on_L * _M_ZI0_OV_K, 0.0) ** (2.0 / 3.0))
+                 * pow23_pos(one_on_L * _M_ZI0_OV_K))
         Ub = jnp.maximum(jnp.sqrt(U_zu * U_zu + gust2), 0.2)
 
         # scalar profiles & height adjustment

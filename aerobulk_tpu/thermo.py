@@ -68,6 +68,20 @@ def nonzero_delta(dx, floor):
     return fsign(jnp.maximum(jnp.abs(dx), floor), dx)
 
 
+def pow23_pos(x):
+    """``MAX(x, 0)**(2/3)`` with a finite gradient at the clamp.
+
+    Forward-bitwise-identical to ``jnp.maximum(x, 0.0) ** (2.0 / 3.0)``
+    (both give exactly 0.0 for x <= 0), but the naive form has a NaN
+    gradient wherever the clamp is active — d(t^(2/3))/dt is infinite at
+    t = 0, and ``inf * 0`` from the max's zero cotangent is NaN.  Used by
+    the gustiness terms (COARE/ECMWF), which hit the clamp at every
+    stably-stratified point; without this guard any jax.grad through the
+    bulk solve is NaN over half the ocean."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.where(pos, x, 1.0) ** (2.0 / 3.0), 0.0)
+
+
 _clip_mag = clip_mag
 _nz = nonzero_delta
 

@@ -62,3 +62,47 @@ def test_series_gradient_through_scan():
 
     g = jax.jit(jax.grad(total_ql))(300.15)
     assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+STABLE, UNSTABLE = +2.0, -3.0
+
+
+@pytest.mark.parametrize("algo", ["coare3p0", "coare3p6", "ncar", "ecmwf",
+                                  "andreas"])
+@pytest.mark.parametrize("dt_air", [STABLE, UNSTABLE])
+def test_gradient_finite_both_stability_regimes(algo, dt_air):
+    """jax.grad is finite on BOTH sides of neutral for every ocean algo.
+
+    Regression guard for the ``MAX(x,0)**(2/3)`` gustiness clamp whose
+    naive form had a NaN gradient at every stably-stratified point
+    (thermo.pow23_pos) — i.e. over roughly half the ocean."""
+    cfg = AeroBulkConfig(algo=algo, niter=5)
+
+    def total_flux(sst_scalar):
+        sst = jnp.full((3,), sst_scalar)
+        out, _ = flux_step(cfg, sst, sst + dt_air,
+                           jnp.full((3,), 0.010), jnp.full((3,), 7.0),
+                           jnp.full((3,), 1.0), jnp.full((3,), 101000.0))
+        return jnp.sum(out.QL + out.QH + out.Tau_x)
+
+    g = float(jax.grad(total_flux)(290.0))
+    assert np.isfinite(g) and g != 0.0
+
+
+def test_charnock_calibration_recovers_coefficients():
+    """End-to-end gradient calibration THROUGH the bulk solve: recover the
+    COARE 3.6 Charnock law's (slope, offset) from synthetic flux
+    observations (examples/calibrate_charnock.py, abridged)."""
+    import importlib.util
+    import pathlib
+    path = pathlib.Path(__file__).parent.parent / "examples" / \
+        "calibrate_charnock.py"
+    spec = importlib.util.spec_from_file_location("calibrate_charnock", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    obs = mod.make_campaign(n=256, seed=1)
+    target = mod.fluxes(obs)
+    slope, offset = mod.calibrate(obs, target, steps=250, verbose=False)
+    assert abs(slope - mod.TRUE_SLOPE) < 0.05 * mod.TRUE_SLOPE
+    assert abs(offset - mod.TRUE_OFFSET) < 1.0e-3
