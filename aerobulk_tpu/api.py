@@ -473,6 +473,8 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
         faster per chip on real TPU hardware for the skin-enabled
         0.25-degree workload; requires 2-D (y, x) grids, a skin-capable
         config with ``use_skin=True``, and rad_sw/rad_lw in the forcing.
+        Differentiable: the kernel carries a custom VJP whose backward
+        pass is AD of the jit path (kernels/fused.py ``_fused_step_ad``).
         Returns the reduced output set (QL, QH, Tau_x, Tau_y, Evap, T_s;
         ``Tau`` and ``rho_a``/``diag`` are None).  ``fused_block`` /
         ``fused_interpret`` are forwarded to the kernel.

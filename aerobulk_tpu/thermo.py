@@ -494,10 +494,16 @@ def delta_skin_layer_from_coefs(coefs, Qd):
     ztf = step(zQd)
     # 6*(1 + y^(3/4))^(-1/3) with the fractional powers decomposed into
     # sqrt/cbrt chains (mathematically identical, cheaper than generic pow
-    # on the TPU VPU, and a shorter serial dependency chain)
-    zy = jnp.maximum(coef_y * zQd, 0.0)
-    zs = jnp.sqrt(zy)
-    lamb = 6.0 * inv_cbrt_1p(zs * jnp.sqrt(zs))
+    # on the TPU VPU, and a shorter serial dependency chain).  The
+    # MAX(y,0) clamp is active at every *cooling* point (zQd <= 0, i.e.
+    # most of the ocean at night), where sqrt's infinite slope at 0 times
+    # the clamp's zero cotangent is NaN — the where-guard keeps the value
+    # bitwise-identical (0 both ways) with a finite gradient, like
+    # pow23_pos for the gustiness term.
+    zy = coef_y * zQd
+    pos = zy > 0.0
+    zs = jnp.sqrt(jnp.where(pos, zy, 1.0))
+    lamb = 6.0 * inv_cbrt_1p(jnp.where(pos, zs * jnp.sqrt(zs), 0.0))
     return (1.0 - ztf) * lamb * ztmp + ztf * jnp.minimum(6.0 * ztmp, 0.007)
 
 

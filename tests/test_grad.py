@@ -89,6 +89,96 @@ def test_gradient_finite_both_stability_regimes(algo, dt_air):
     assert np.isfinite(g) and g != 0.0
 
 
+@pytest.mark.parametrize("algo", ["coare3p6", "ecmwf"])
+def test_gradient_finite_in_cooling_regime(algo):
+    """Nighttime (rad_sw=0, net cooling) gradients are finite with the
+    skin schemes on.
+
+    Regression guard for the cool-skin viscous-layer solve
+    (thermo.delta_skin_layer_from_coefs): its ``MAX(y, 0)`` clamp is
+    active at every cooling point (zQd <= 0), where the naive
+    ``sqrt(max(y, 0))`` had a NaN gradient — i.e. jax.grad through any
+    skin-enabled solve was NaN over the whole nighttime ocean."""
+    cfg = AeroBulkConfig(algo=algo, niter=5, use_skin=True)
+
+    def total_flux(sst_scalar):
+        sst = jnp.full((4,), sst_scalar)
+        out, _ = flux_step(cfg, sst, sst - 1.5, jnp.full((4,), 0.012),
+                           jnp.full((4,), 6.0), jnp.zeros((4,)),
+                           jnp.full((4,), 101000.0),
+                           rad_sw=jnp.zeros((4,)),          # night
+                           rad_lw=jnp.full((4,), 320.0),
+                           isecday_utc=3600)
+        return jnp.sum(out.QL + out.QH + out.T_s)
+
+    g = float(jax.grad(total_flux)(295.15))
+    assert np.isfinite(g) and g != 0.0
+
+
+def test_fused_step_gradient_matches_jit_path():
+    """The fused Pallas kernel is differentiable via its custom VJP
+    (backward pass = AD of the jit semantics path, kernels/fused.py
+    ``_fused_step_ad``); on CPU (interpret mode, fp64) the gradient of a
+    nonlinear loss matches jax.grad through ``flux_step`` to fp64
+    roundoff, and the primal is unchanged by the wrapping."""
+    from aerobulk_tpu.kernels.fused import fused_flux_step
+
+    cfg = AeroBulkConfig(algo="coare3p6", use_skin=True, niter=5)
+    ny, nx = 8, 128
+    rng = np.random.default_rng(0)
+    sst = jnp.asarray(rng.uniform(275.0, 302.0, (ny, nx)))
+    t = sst + jnp.asarray(rng.uniform(-3.0, 2.0, (ny, nx)))
+    q = jnp.asarray(rng.uniform(0.002, 0.018, (ny, nx)))
+    U = jnp.asarray(rng.uniform(1.0, 15.0, (ny, nx)))
+    V = jnp.asarray(rng.uniform(-5.0, 5.0, (ny, nx)))
+    slp = jnp.full((ny, nx), 101000.0)
+    rsw, rlw = jnp.full((ny, nx), 400.0), jnp.full((ny, nx), 350.0)
+
+    def loss_fused(s):
+        (QL, QH, Tx, _, _, _), _ = fused_flux_step(
+            cfg, s, t, q, U, V, slp, rsw, rlw, isecday_utc=43200)
+        return jnp.sum(QL ** 2 + QH ** 2 + Tx ** 2) * 1e-6
+
+    def loss_jit(s):
+        out, _ = flux_step(cfg, s, t, q, U, V, slp, rad_sw=rsw,
+                           rad_lw=rlw, isecday_utc=43200)
+        return jnp.sum(out.QL ** 2 + out.QH ** 2 + out.Tau_x ** 2) * 1e-6
+
+    v1, g1 = jax.value_and_grad(loss_fused)(sst)
+    v2, g2 = jax.value_and_grad(loss_jit)(sst)
+    assert bool(jnp.all(jnp.isfinite(g1)))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-10)
+
+
+def test_run_series_remat_gradient_matches():
+    """``run_series(remat=True)`` (jax.checkpoint on the scan body — O(1)
+    residual memory for long-series adjoints) gives the same gradient as
+    the default."""
+    from aerobulk_tpu.api import run_series
+    cfg = AeroBulkConfig(algo="coare3p6", niter=2, use_skin=True)
+    nt, npts = 4, 2
+
+    def total_ql(sst0, remat):
+        forcing = dict(
+            sst=jnp.full((nt, npts), sst0),
+            t_zt=jnp.full((nt, npts), 298.15),
+            hum_zt=jnp.full((nt, npts), 0.015),
+            U_zu=jnp.full((nt, npts), 4.0),
+            V_zu=jnp.zeros((nt, npts)),
+            slp=jnp.full((nt, npts), 101000.0),
+            rad_sw=jnp.full((nt, npts), 600.0),
+            rad_lw=jnp.full((nt, npts), 400.0))
+        outs, _ = run_series(cfg, forcing, remat=remat,
+                             isecday_utc=jnp.arange(10, 10 + nt) * 3600)
+        return jnp.sum(outs.QL)
+
+    g_plain = float(jax.grad(lambda s: total_ql(s, False))(300.15))
+    g_remat = float(jax.grad(lambda s: total_ql(s, True))(300.15))
+    assert np.isfinite(g_plain) and g_plain != 0.0
+    np.testing.assert_allclose(g_remat, g_plain, rtol=1e-12)
+
+
 def test_charnock_calibration_recovers_coefficients():
     """End-to-end gradient calibration THROUGH the bulk solve: recover the
     COARE 3.6 Charnock law's (slope, offset) from synthetic flux
