@@ -179,6 +179,53 @@ def test_run_series_remat_gradient_matches():
     np.testing.assert_allclose(g_remat, g_plain, rtol=1e-12)
 
 
+def test_gradient_finite_ice_mixed_and_neutral():
+    """Every remaining differentiable surface — the 7 ice algorithms,
+    both mixed ocean+ice paths (separate and the LG15_IO simultaneous
+    solve), and neutral_10m for all 5 ocean algos — has finite, nonzero
+    gradients over a randomized input band (the clamp-NaN sweep that
+    found the gustiness and cool-skin issues, frozen as a regression)."""
+    from aerobulk_tpu.api import flux_step_ice, flux_step_mixed
+    from aerobulk_tpu.algos.neutral_10m import turb_neutral_10m
+    from aerobulk_tpu.ice import ICE_ALGOS
+
+    rng = np.random.default_rng(3)
+    n = 64
+    Ts_i = jnp.asarray(rng.uniform(230.0, 273.15, n))
+    t = Ts_i + jnp.asarray(rng.uniform(-6.0, 6.0, n))
+    q = jnp.asarray(rng.uniform(0.0001, 0.004, n))
+    U = jnp.asarray(rng.uniform(0.3, 25.0, n))
+    V = jnp.zeros(n)
+    slp = jnp.full(n, 101000.0)
+    frice = jnp.asarray(rng.uniform(0.0, 1.0, n))
+    sst = jnp.asarray(rng.uniform(271.2, 302.0, n))
+
+    for name in sorted(ICE_ALGOS):
+        def loss_ice(ts):
+            out, _ = flux_step_ice(name, 2.0, 10.0, ts, t, q, U, V, slp,
+                                   frice=frice)
+            return jnp.sum(out.QL + out.QH + out.Tau_x)
+        g = jax.grad(loss_ice)(Ts_i)
+        assert bool(jnp.all(jnp.isfinite(g))), f"{name}: NaN gradient"
+        assert float(jnp.abs(g).max()) > 0.0, f"{name}: zero gradient"
+
+    for simul in (False, True):
+        def loss_mixed(s):
+            net, _, _ = flux_step_mixed(2.0, 10.0, Ts_i, s, t + 20.0, q, U,
+                                        V, slp, frice, simultaneous=simul)
+            return jnp.sum(net.QL + net.QH)
+        g = jax.grad(loss_mixed)(sst)
+        assert bool(jnp.all(jnp.isfinite(g))), f"mixed simul={simul}: NaN"
+
+    UN = jnp.asarray(rng.uniform(0.05, 35.0, n))
+    for algo in ("coare3p0", "coare3p6", "ecmwf", "ncar", "andreas"):
+        def loss_n10(u):
+            CdN, ChN, CeN, _ = turb_neutral_10m(algo, u, niter=5)
+            return jnp.sum(CdN + ChN + CeN)
+        g = jax.grad(loss_n10)(UN)
+        assert bool(jnp.all(jnp.isfinite(g))), f"neutral_10m {algo}: NaN"
+
+
 def test_charnock_calibration_recovers_coefficients():
     """End-to-end gradient calibration THROUGH the bulk solve: recover the
     COARE 3.6 Charnock law's (slope, offset) from synthetic flux
