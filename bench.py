@@ -505,10 +505,66 @@ def main_bf16():
         }))
 
 
+def main_grad():
+    """Adjoint throughput: one value+gradient evaluation of a scalar flux
+    loss (sum QL+QH) through the full skin-enabled step, d/dSST on the
+    0.25-degree grid.  Two rows: the fused Pallas primal with its custom
+    VJP (backward pass = AD of the jit path, kernels/fused.py
+    ``_fused_step_ad``) and pure jit-path AD.  ``points/s`` counts grid
+    points per complete value+grad evaluation — the speed a
+    data-assimilation / calibration loop sees per iteration."""
+    import jax
+    import jax.numpy as jnp
+    from aerobulk_tpu.api import AeroBulkConfig, flux_step, init_skin_state
+    from aerobulk_tpu.kernels.fused import fused_flux_step
+
+    niter = _arg_niter()
+    dtype = jnp.float32
+    shape = (NY, NX)
+    I = _mk_inputs(shape, dtype)
+    cfg = AeroBulkConfig(algo="coare3p6", zt=2.0, zu=10.0, niter=niter,
+                         use_skin=True)
+    state = init_skin_state(cfg, shape, dtype)
+
+    def loss_fused(sst):
+        outs, _ = fused_flux_step(cfg, sst, I["t"], I["q"], I["u"], I["v"],
+                                  I["slp"], I["rsw"], I["rlw"], lon=I["lon"],
+                                  isecday_utc=43200, skin_state=state)
+        return jnp.sum(outs[0] + outs[1])
+
+    def loss_jit(sst):
+        out, _ = flux_step(cfg, sst, I["t"], I["q"], I["u"], I["v"],
+                           I["slp"], rad_sw=I["rsw"], rad_lw=I["rlw"],
+                           isecday_utc=43200, lon=I["lon"], skin_state=state)
+        return jnp.sum(out.QL + out.QH)
+
+    record = {
+        "metric": "coare3p6_skin_0p25deg_value_and_grad_points_per_s",
+        "unit": "points/s", "niter": niter,
+        "note": ("one complete value+gradient (d sum(QL+QH) / d SST) per "
+                 "'evaluation'; fused = Pallas primal + custom-VJP "
+                 "(jit-path AD) backward"),
+    }
+    for name, loss in (("fused", loss_fused), ("jit", loss_jit)):
+        grad_fn = jax.grad(loss)
+
+        def step(sst):
+            # serially dependent: the (tiny) gradient feeds the next input
+            return sst + 1.0e-20 * grad_fn(sst)
+
+        dt = _timeit_scan(step, I["sst"], reps=8)
+        record[f"{name}_points_per_s"] = round(NY * NX / dt, 1)
+    record["value"] = record["fused_points_per_s"]
+    record["vs_baseline"] = round(record["value"] / BASELINE_CPU_POINTS_S, 2)
+    print(json.dumps(record))
+
+
 if __name__ == "__main__":
     if "--all" in sys.argv:
         main_all()
     elif "--bf16" in sys.argv:
         main_bf16()
+    elif "--grad" in sys.argv:
+        main_grad()
     else:
         main()
