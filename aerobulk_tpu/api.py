@@ -270,6 +270,62 @@ def flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
     return out, state
 
 
+_LINEARIZABLE = ("sst", "t_zt", "hum_zt", "U_zu", "V_zu", "slp",
+                 "rad_sw", "rad_lw")
+
+
+def flux_step_linearized(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu,
+                         V_zu, slp, rad_sw=None, rad_lw=None,
+                         isecday_utc=None, lon=None,
+                         skin_state: Optional[SkinState] = None,
+                         wrt: str = "sst"):
+    """Fluxes plus the per-point derivative of every output with respect
+    to one input field, in ONE extra forward-mode pass.
+
+    The bulk solve is pointwise — ``output[i]`` depends only on
+    ``input[i]`` — so each output's Jacobian with respect to an input
+    field is DIAGONAL, and a single ``jax.jvp`` with a ones tangent on
+    that field evaluates the entire diagonal at once (cost ≈ one extra
+    ``flux_step``; no N² Jacobian, no N finite-difference re-solves).
+
+    Returns ``(out, d_out, state)`` where ``d_out`` is a ``FluxOutput``
+    of derivatives: ``d_out.QL[i]`` is dQL/d<wrt> at point i, and
+    ``d_out.diag`` carries the derivatives of every diagnostic
+    (dCd/d<wrt>, dT_s/d<wrt>, ...).  The tangent of the skin state is
+    discarded; ``state`` is the primal next-step state.
+
+    This is exactly the quantity implicit air-sea coupling schemes
+    consume (the reference offers no derivatives — coupled models using
+    it must hand-derive linearizations): an implicit mixed-layer update
+    solves ``T⁺ = T + dt·Q(T⁺)/(ρ·cp·h)`` via
+    ``Q(T⁺) ≈ Q(T) + (dQ/dT)·(T⁺ − T)`` with
+    ``dQ/dT = d_out.QL + d_out.QH`` from ``wrt="sst"`` — unconditionally
+    stable at coupling steps where explicit forcing blows up
+    (``examples/implicit_coupling.py``).
+    """
+    fields = dict(sst=sst, t_zt=t_zt, hum_zt=hum_zt, U_zu=U_zu,
+                  V_zu=V_zu, slp=slp, rad_sw=rad_sw, rad_lw=rad_lw)
+    if wrt not in _LINEARIZABLE:
+        raise ValueError(f"flux_step_linearized: wrt={wrt!r} not one of "
+                         f"{_LINEARIZABLE}")
+    if fields[wrt] is None:
+        raise ValueError(f"flux_step_linearized: wrt={wrt!r} but that "
+                         "input was not provided")
+    x = jnp.asarray(fields[wrt])
+
+    def f(v):
+        fx = dict(fields)
+        fx[wrt] = v
+        return flux_step(cfg, fx["sst"], fx["t_zt"], fx["hum_zt"],
+                         fx["U_zu"], fx["V_zu"], fx["slp"],
+                         rad_sw=fx["rad_sw"], rad_lw=fx["rad_lw"],
+                         isecday_utc=isecday_utc, lon=lon,
+                         skin_state=skin_state)
+
+    (out, state), (d_out, _) = jax.jvp(f, (x,), (jnp.ones_like(x),))
+    return out, d_out, state
+
+
 def flux_step_ice(ice_algo: str, zt, zu, Ts_i, t_zt, hum_zt, U_zu, V_zu,
                   slp, frice=None, niter=5, humidity="sh", **algo_kw):
     """Fluxes over sea ice with one of the ice algorithm family.

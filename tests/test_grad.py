@@ -226,6 +226,99 @@ def test_gradient_finite_ice_mixed_and_neutral():
         assert bool(jnp.all(jnp.isfinite(g))), f"neutral_10m {algo}: NaN"
 
 
+def _linearize_inputs(n, seed=7):
+    rng = np.random.default_rng(seed)
+    return dict(
+        sst=jnp.asarray(rng.uniform(278.0, 302.0, n)),
+        t_zt=jnp.asarray(rng.uniform(275.0, 300.0, n)),
+        hum_zt=jnp.asarray(rng.uniform(0.004, 0.018, n)),
+        U_zu=jnp.asarray(rng.uniform(1.0, 14.0, n)),
+        V_zu=jnp.asarray(rng.uniform(-4.0, 4.0, n)),
+        slp=jnp.asarray(rng.uniform(99000.0, 103000.0, n)),
+        rad_sw=jnp.asarray(rng.uniform(0.0, 800.0, n)),
+        rad_lw=jnp.asarray(rng.uniform(300.0, 420.0, n)))
+
+
+@pytest.mark.parametrize("wrt,eps", [("sst", 1e-4), ("t_zt", 1e-4),
+                                     ("U_zu", 1e-5), ("hum_zt", 1e-8)])
+def test_linearized_matches_per_point_finite_difference(wrt, eps):
+    """flux_step_linearized returns the per-point diagonal Jacobian —
+    the implicit-coupling quantity — matching central finite differences
+    at every point (fp64 CPU)."""
+    from aerobulk_tpu.api import flux_step_linearized
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+    inp = _linearize_inputs(16)
+    kw = dict(isecday_utc=43200)
+
+    out, d_out, _ = flux_step_linearized(cfg, **inp, **kw, wrt=wrt)
+
+    def outputs(v):
+        i2 = dict(inp)
+        i2[wrt] = v
+        o, _ = flux_step(cfg, **i2, **kw)
+        return o.QL, o.QH, o.Tau
+
+    x = inp[wrt]
+    hi, lo = outputs(x + eps), outputs(x - eps)
+    for got, o_hi, o_lo, name in zip((d_out.QL, d_out.QH, d_out.Tau),
+                                     hi, lo, ("QL", "QH", "Tau")):
+        fd = (np.asarray(o_hi) - np.asarray(o_lo)) / (2 * eps)
+        scale = np.maximum(np.abs(fd), 1e-2 * np.abs(fd).max() + 1e-12)
+        np.testing.assert_allclose(np.asarray(got) / scale, fd / scale,
+                                   atol=2e-3, err_msg=f"{name} d/d{wrt}")
+    assert bool(jnp.all(jnp.isfinite(d_out.diag.Cd)))  # diagnostics too
+
+
+def test_linearized_jacobian_is_diagonal():
+    """The pointwise-independence claim behind the one-pass diagonal:
+    jacfwd of QL w.r.t. the SST *field* is exactly diagonal."""
+    cfg = AeroBulkConfig(algo="ecmwf", niter=4, use_skin=False)
+    inp = _linearize_inputs(4)
+    inp.pop("rad_sw"), inp.pop("rad_lw")
+
+    J = jax.jacfwd(
+        lambda s: flux_step(cfg, s, inp["t_zt"], inp["hum_zt"],
+                            inp["U_zu"], inp["V_zu"], inp["slp"])[0].QL
+    )(inp["sst"])
+    J = np.asarray(J)
+    off = J - np.diag(np.diag(J))
+    assert np.all(off == 0.0)
+    assert np.all(np.diag(J) < 0.0)  # warmer ocean -> more latent loss
+
+
+def test_linearized_signs_and_errors():
+    """Physical signs (dTau/dU > 0, d(QL+QH)/dSST < 0 — the negative
+    air-sea feedback) and the error paths."""
+    from aerobulk_tpu.api import flux_step_linearized
+    cfg = AeroBulkConfig(algo="coare3p0", niter=5, use_skin=False)
+    inp = _linearize_inputs(8)
+    inp.pop("rad_sw"), inp.pop("rad_lw")
+
+    _, d_u, _ = flux_step_linearized(cfg, **inp, wrt="U_zu")
+    assert bool(jnp.all(d_u.Tau > 0.0))
+    _, d_s, _ = flux_step_linearized(cfg, **inp, wrt="sst")
+    assert bool(jnp.all(d_s.QL + d_s.QH < 0.0))
+
+    with pytest.raises(ValueError, match="not one of"):
+        flux_step_linearized(cfg, **inp, wrt="bogus")
+    with pytest.raises(ValueError, match="not provided"):
+        flux_step_linearized(cfg, **inp, wrt="rad_sw")
+
+
+def test_implicit_coupling_example():
+    """examples/implicit_coupling.py (abridged horizon): backward-Euler
+    slab coupling on the exact linearized fluxes is stable and accurate
+    at a 12 h step where explicit coupling oscillates."""
+    import importlib.util
+    import pathlib
+    path = pathlib.Path(__file__).parent.parent / "examples" / \
+        "implicit_coupling.py"
+    spec = importlib.util.spec_from_file_location("implicit_coupling", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(days=8.0)   # asserts live inside main()
+
+
 def test_charnock_calibration_recovers_coefficients():
     """End-to-end gradient calibration THROUGH the bulk solve: recover the
     COARE 3.6 Charnock law's (slope, offset) from synthetic flux
