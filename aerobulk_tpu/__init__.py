@@ -22,7 +22,8 @@ from .algos import (FluxResult, OCEAN_ALGOS, turb_andreas, turb_coare3p0,
 from .algos.neutral_10m import turb_neutral_10m
 from .api import (AeroBulkConfig, FluxOutput, aerobulk_model,
                   check_flux_sanity, flux, flux_sanity_count, flux_step,
-                  flux_step_ice, flux_step_linearized, flux_step_mixed,
+                  flux_step_ice, flux_step_ice_linearized,
+                  flux_step_linearized, flux_step_mixed,
                   init, init_skin_state, run_series)
 from .skin import SkinState
 
@@ -32,7 +33,7 @@ __all__ = [
     "AeroBulkConfig", "FluxOutput", "FluxResult", "OCEAN_ALGOS", "SkinState",
     "aerobulk_model", "check_flux_sanity",
     "closures", "constants", "flux", "flux_sanity_count", "flux_step",
-    "flux_step_ice", "flux_step_linearized",
+    "flux_step_ice", "flux_step_ice_linearized", "flux_step_linearized",
     "flux_step_mixed", "init", "init_skin_state", "run_series",
     "skin", "stability", "thermo", "turb_andreas", "turb_coare3p0",
     "turb_coare3p6", "turb_ecmwf", "turb_ncar", "turb_neutral_10m",

@@ -374,6 +374,48 @@ def flux_step_ice(ice_algo: str, zt, zu, Ts_i, t_zt, hum_zt, U_zu, V_zu,
     return out, res
 
 
+_ICE_LINEARIZABLE = ("Ts_i", "t_zt", "hum_zt", "U_zu", "V_zu", "slp")
+
+
+def flux_step_ice_linearized(ice_algo: str, zt, zu, Ts_i, t_zt, hum_zt,
+                             U_zu, V_zu, slp, frice=None, niter=5,
+                             humidity="sh", wrt: str = "Ts_i", **algo_kw):
+    """Ice fluxes plus the per-point derivative of every output with
+    respect to one input field, in one extra forward-mode pass.
+
+    The ice-side counterpart of :func:`flux_step_linearized` (same
+    diagonal-Jacobian argument).  ``wrt="Ts_i"`` yields the quantity
+    sea-ice thermodynamic solvers need: the surface energy-balance
+    Newton iteration of SI3/CICE-class ice models linearizes the
+    turbulent fluxes in the ice surface temperature,
+    ``Q(T⁺) ≈ Q(T) + (dQ/dT)·(T⁺ − T)``, with
+    ``dQ/dT = d_out.QL + d_out.QH`` here exact through the chosen bulk
+    scheme (transfer-coefficient and stability dependence included)
+    rather than the usual fixed-coefficient approximation.
+
+    Returns ``(out, d_out, res)`` — primal :class:`FluxOutput`, its
+    derivative w.r.t. ``wrt`` (``d_out.diag`` holds diagnostic
+    derivatives), and the primal ``FluxResult``.
+    """
+    fields = dict(Ts_i=Ts_i, t_zt=t_zt, hum_zt=hum_zt, U_zu=U_zu,
+                  V_zu=V_zu, slp=slp)
+    if wrt not in _ICE_LINEARIZABLE:
+        raise ValueError(f"flux_step_ice_linearized: wrt={wrt!r} not one "
+                         f"of {_ICE_LINEARIZABLE}")
+    x = jnp.asarray(fields[wrt])
+
+    def f(v):
+        fx = dict(fields)
+        fx[wrt] = v
+        return flux_step_ice(ice_algo, zt, zu, fx["Ts_i"], fx["t_zt"],
+                             fx["hum_zt"], fx["U_zu"], fx["V_zu"],
+                             fx["slp"], frice=frice, niter=niter,
+                             humidity=humidity, **algo_kw)
+
+    (out, res), (d_out, _) = jax.jvp(f, (x,), (jnp.ones_like(x),))
+    return out, d_out, res
+
+
 def flux_step_mixed(zt, zu, Ts_i, sst, t_zt, hum_zt, U_zu, V_zu, slp,
                     frice, ice_algo="ice_lg15", ocean_algo="ecmwf",
                     niter=5, humidity="sh", simultaneous=False):

@@ -305,6 +305,44 @@ def test_linearized_signs_and_errors():
         flux_step_linearized(cfg, **inp, wrt="rad_sw")
 
 
+@pytest.mark.parametrize("ice_algo", ["ice_an05", "ice_lg15"])
+def test_ice_linearized_matches_per_point_finite_difference(ice_algo):
+    """flux_step_ice_linearized(wrt='Ts_i') — the surface energy-balance
+    Newton derivative sea-ice thermodynamic solvers need — matches
+    central finite differences at every point, and carries the negative
+    feedback sign (warmer ice surface -> more turbulent heat loss)."""
+    from aerobulk_tpu.api import flux_step_ice, flux_step_ice_linearized
+    rng = np.random.default_rng(21)
+    n = 12
+    Ts_i = jnp.asarray(rng.uniform(240.0, 272.0, n))
+    t = Ts_i + jnp.asarray(rng.uniform(-4.0, 4.0, n))
+    q = jnp.asarray(rng.uniform(0.0002, 0.003, n))
+    U = jnp.asarray(rng.uniform(1.0, 18.0, n))
+    V = jnp.zeros(n)
+    slp = jnp.full(n, 101000.0)
+    frice = jnp.asarray(rng.uniform(0.3, 0.95, n))
+
+    out, d_out, _ = flux_step_ice_linearized(
+        ice_algo, 2.0, 10.0, Ts_i, t, q, U, V, slp, frice=frice)
+
+    eps = 1e-4
+    hi, _ = flux_step_ice(ice_algo, 2.0, 10.0, Ts_i + eps, t, q, U, V,
+                          slp, frice=frice)
+    lo, _ = flux_step_ice(ice_algo, 2.0, 10.0, Ts_i - eps, t, q, U, V,
+                          slp, frice=frice)
+    for got, a, b, name in ((d_out.QL, hi.QL, lo.QL, "QL"),
+                            (d_out.QH, hi.QH, lo.QH, "QH"),
+                            (d_out.Tau, hi.Tau, lo.Tau, "Tau")):
+        fd = (np.asarray(a) - np.asarray(b)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(got), fd, rtol=5e-4,
+                                   atol=1e-7, err_msg=f"{name} d/dTs_i")
+    assert bool(jnp.all(d_out.QL + d_out.QH < 0.0))
+
+    with pytest.raises(ValueError, match="not one of"):
+        flux_step_ice_linearized(ice_algo, 2.0, 10.0, Ts_i, t, q, U, V,
+                                 slp, frice=frice, wrt="sst")
+
+
 def test_implicit_coupling_example():
     """examples/implicit_coupling.py (abridged horizon): backward-Euler
     slab coupling on the exact linearized fluxes is stable and accurate
