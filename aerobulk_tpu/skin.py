@@ -28,6 +28,7 @@ from .thermo import (alpha_sw, delta_skin_layer_from_coefs, fsign,
 __all__ = [
     "SkinState", "init_skin_state_coare", "init_skin_state_ecmwf",
     "save_skin_state", "load_skin_state",
+    "save_skin_state_sharded", "load_skin_state_sharded",
     "cs_coare", "wl_coare", "cs_ecmwf", "wl_ecmwf",
     "HWL_MAX", "RD0_ECMWF",
 ]
@@ -82,6 +83,44 @@ def load_skin_state(path: str, dtype=None) -> SkinState:
         arrs = {k: jnp.asarray(z[k], dtype) for k in
                 ("dT_wl", "Hz_wl", "Qnt_ac", "Tau_ac")}
     return SkinState(**arrs)
+
+
+def save_skin_state_sharded(path: str, state: SkinState):
+    """Checkpoint a (possibly sharded, possibly multi-host) warm-layer
+    state with Orbax — each host writes only its addressable shards, no
+    device->host gather of the global array (``save_skin_state``'s
+    ``np.asarray`` would fail on a non-fully-addressable array).
+
+    ``path`` must be a directory path (Orbax checkpoint format).  Blocks
+    until the checkpoint is durable.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state._asdict())
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_skin_state_sharded(path: str, like: SkinState) -> SkinState:
+    """Restore a checkpoint written by :func:`save_skin_state_sharded`,
+    placing each field with the sharding/dtype/shape of the matching
+    field of ``like`` (e.g. a freshly built ``init_skin_state`` already
+    ``device_put`` onto the mesh) — each host reads only its shards.
+    """
+    import os
+
+    import jax
+    import orbax.checkpoint as ocp
+    abstract = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                       sharding=getattr(a, "sharding", None)),
+        like._asdict())
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), abstract)
+    ckptr.close()
+    return SkinState(**restored)
 
 
 # ---------------------------------------------------------------------------
