@@ -114,6 +114,21 @@ def main():
     np.savez(os.path.join(outdir, f"worker{pid}.npz"), **out)
     print(f"WORKER {pid} OK {out['QL'].sum():.12e}", flush=True)
 
+    # multi-host sharded checkpoint: a COLLECTIVE Orbax save (each process
+    # writes only its addressable shards) + restore onto the same mesh,
+    # bitwise per local shard.  This is the path save_skin_state (host
+    # np.asarray gather) cannot take on multi-host state.
+    from aerobulk_tpu.skin import (load_skin_state_sharded,
+                                   save_skin_state_sharded)
+    ckpt_dir = os.path.join(outdir, "skin_ckpt")
+    save_skin_state_sharded(ckpt_dir, ns)
+    restored = load_skin_state_sharded(ckpt_dir, ns)
+    for name in ns._fields:
+        np.testing.assert_array_equal(local_slab(getattr(restored, name)),
+                                      local_slab(getattr(ns, name)),
+                                      err_msg=name)
+    print(f"WORKER {pid} CKPT OK", flush=True)
+
     jax.distributed.shutdown()
 
 

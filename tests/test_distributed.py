@@ -71,6 +71,7 @@ def test_two_process_distributed_sharded_series(tmp_path):
             raise
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         assert f"WORKER {pid} OK" in out
+        assert f"WORKER {pid} CKPT OK" in out   # collective Orbax roundtrip
 
     # reassemble the global fields from the two workers' per-point slabs
     slabs = [dict(np.load(tmp_path / f"worker{pid}.npz"))
