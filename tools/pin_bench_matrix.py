@@ -3,7 +3,8 @@
 Runs the three bench modes as subprocesses on the live TPU —
 ``bench.py --all`` (the 5 BASELINE workload configs), ``--niter 20`` (the
 reference's converged iteration setting), ``--bf16`` (the rejected bf16
-speed path with its precision budget) — annotates every JSON line with
+speed path with its precision budget), ``--grad`` (adjoint throughput:
+one complete value+gradient evaluation) — annotates every JSON line with
 provenance, and writes ``docs/BENCH_ALL.json`` (one JSON object per
 line).  SCALING.md cites this artifact instead of prose ranges.
 
@@ -23,6 +24,7 @@ MODES = [
     ("all", ["--all", "--no-check"]),
     ("niter20", ["--niter", "20", "--no-check"]),
     ("bf16", ["--bf16"]),
+    ("grad", ["--grad"]),       # adjoint throughput (value+gradient)
 ]
 
 
