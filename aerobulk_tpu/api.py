@@ -659,15 +659,23 @@ _MODEL_STATE: dict = {}
 
 def aerobulk_model(jt, Nt, calgo, zt, zu, sst, t_zt, hum_zt, U_zu, V_zu,
                    slp, Niter=5, l_use_skin=False, rad_sw=None, rad_lw=None,
-                   isecday_utc=12, lon=None):
+                   isecday_utc=12, lon=None, series_id=0):
     """Drop-in analogue of the reference's ``AEROBULK_MODEL``
     (mod_aerobulk.f90:176-268) for migrating users.
 
-    Call with ``jt`` from 1 to ``Nt``; input validation runs at ``jt == 1``
-    (the AEROBULK_INIT semantics) and the warm-layer state is carried
-    between calls in a process-local registry, initialized at ``jt == 1``
-    and dropped after ``jt == Nt`` — exactly the reference's
-    allocate/save/deallocate lifecycle, without the hidden module arrays.
+    Call with ``jt`` from 1 to ``Nt``; input validation and humidity-type
+    detection run at ``jt == 1`` (the AEROBULK_INIT semantics,
+    mod_aerobulk.f90:126-153) and both the warm-layer state and the
+    detected humidity kind are carried between calls in a process-local
+    registry, initialized at ``jt == 1`` and dropped after ``jt == Nt`` —
+    exactly the reference's lifecycle (``ctype_humidity`` is detected once
+    and stored, mod_aerobulk.f90:127), without the hidden module arrays.
+    A series whose humidity values drift across a range boundary keeps the
+    interpretation detected at init, and no per-step host sync happens.
+
+    ``series_id`` disambiguates interleaved series sharing the same
+    algorithm and grid shape, which would otherwise silently share the
+    warm-layer state (the reference's module-global-state hazard).
 
     Returns ``(QL, QH, Tau_x, Tau_y, Evap, T_s)`` as jnp arrays.
     Prefer :func:`flux_step` / :func:`run_series` in new code (explicit
@@ -682,21 +690,20 @@ def aerobulk_model(jt, Nt, calgo, zt, zu, sst, t_zt, hum_zt, U_zu, V_zu,
     cfg = AeroBulkConfig(algo=calgo, zt=float(zt), zu=float(zu),
                          niter=int(Niter), use_skin=bool(l_use_skin),
                          humidity="auto")
-    if int(jt) == 1:
-        mask, htype = init(cfg, sst, t_zt, hum_zt, U_zu, V_zu, slp,
-                           rad_sw=rad_sw, rad_lw=rad_lw)
-    else:
-        htype = detect_humidity_type(hum_zt)
-    cfg = dataclasses.replace(cfg, humidity=htype)
-
-    key = (calgo, np.shape(np.asarray(sst)))
+    key = (calgo, np.shape(np.asarray(sst)), series_id)
     if int(jt) == 1 or key not in _MODEL_STATE:
-        _MODEL_STATE[key] = init_skin_state(cfg, key[1],
-                                            jnp.result_type(jnp.asarray(sst)))
+        _, htype = init(cfg, sst, t_zt, hum_zt, U_zu, V_zu, slp,
+                        rad_sw=rad_sw, rad_lw=rad_lw)
+        cfg = dataclasses.replace(cfg, humidity=htype)
+        _MODEL_STATE[key] = (
+            init_skin_state(cfg, key[1],
+                            jnp.result_type(jnp.asarray(sst))), htype)
+    skin_state, htype = _MODEL_STATE[key]
+    cfg = dataclasses.replace(cfg, humidity=htype)
     out, state = flux_step(cfg, sst, t_zt, hum_zt, U_zu, V_zu, slp,
                            rad_sw=rad_sw, rad_lw=rad_lw,
                            isecday_utc=isecday_utc, lon=lon,
-                           skin_state=_MODEL_STATE[key])
+                           skin_state=skin_state)
     # the reference's BULK_FORMULA_VCTR aborts on tau > ref_tau_max
     # (mod_phymbl.f90:1249-1253); this driver-level path is host-side,
     # so the same hard-stop semantics apply here.
@@ -704,7 +711,7 @@ def aerobulk_model(jt, Nt, calgo, zt, zu, sst, t_zt, hum_zt, U_zu, V_zu,
     if int(jt) >= int(Nt):
         _MODEL_STATE.pop(key, None)
     else:
-        _MODEL_STATE[key] = state
+        _MODEL_STATE[key] = (state, htype)
     return out.QL, out.QH, out.Tau_x, out.Tau_y, out.Evap, out.T_s
 
 

@@ -1,16 +1,34 @@
-"""Host -> device input pipeline: double-buffered time-record feed.
+"""Host -> device input pipeline: overlapped streaming of time records.
 
 The reference processes the time axis strictly sequentially because of the
-warm-layer state (SURVEY.md §5); the input files live on the host.  The
-TPU-native pattern (BASELINE.json north star) is to overlap the host-side
-read + device transfer of record t+1 with the flux computation of record
-t — JAX dispatch is async, so issuing ``device_put`` for the next record
-immediately after launching the current step gives the overlap for free;
-a background thread deepens the prefetch when host decode is slow.
+warm-layer state (SURVEY.md §5); the input files live on the host — its
+flagship workload is an IO-fed stateful time loop
+(test_aerobulk_buoy_series_oce.f90:364-537).  The TPU-native pattern
+(BASELINE.json north star) overlaps three streams:
+
+  * H2D: a producer thread issues ``jax.device_put`` for record (or chunk)
+    t+1 while record t computes;
+  * compute: JAX dispatch is async, so the step for record t+1 is enqueued
+    before record t's outputs are read back;
+  * D2H: collected outputs start their device->host copy asynchronously
+    (``copy_to_host_async``) at dispatch time and are only *synced* after
+    ``inflight`` further records have been dispatched — the host never
+    blocks the device on a read-back of the record it just computed.
+
+Two granularities:
+
+  * per-record (default): one jitted ``flux_step`` dispatch per record —
+    simple, works for any config, but each record pays the fixed dispatch
+    cost (~30 ms behind a remote tunnel);
+  * chunked (``chunk=K``): K records are stacked on the host, shipped as
+    one transfer, and scanned on device (``run_series``, optionally the
+    fused Pallas backend) — the dispatch/transfer overhead amortizes over
+    K * npoints, which is the production shape for big grids.
 """
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 from typing import Callable, Dict, Iterable, Iterator, Optional
@@ -19,6 +37,44 @@ import jax
 import numpy as np
 
 __all__ = ["prefetch_to_device", "run_series_pipelined"]
+
+
+def _prefetch_map(fn, items, buffer_size: int = 2):
+    """Apply ``fn`` to each item on a daemon thread, keeping up to
+    ``buffer_size`` results in flight; exceptions re-raise at the
+    consumer."""
+    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+    _END = object()
+    err = []
+
+    def producer():
+        try:
+            for it in items:
+                q.put(fn(it))
+        except BaseException as e:   # re-raised on the consumer side
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+    if err:
+        raise err[0]
+
+
+def _grid_put(sharding):
+    """device_put mapper: grid-shaped fields get the grid sharding,
+    scalars/vectors (e.g. isecday_utc) are replicated."""
+    def put(x):
+        if sharding is not None and np.ndim(x) >= len(sharding.spec):
+            return jax.device_put(x, sharding)
+        return jax.device_put(x)
+    return put
 
 
 def prefetch_to_device(records: Iterable[Dict[str, np.ndarray]],
@@ -32,82 +88,203 @@ def prefetch_to_device(records: Iterable[Dict[str, np.ndarray]],
     record t+1 overlaps the compute of record t.  With ``sharding`` the
     transfer lands directly in the sharded layout (multi-chip feed).
     """
-    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
-    _END = object()
-
     # a sharding over a single device buys nothing and (on some remote
     # backends) sends compilation through a much slower SPMD path
     if sharding is not None and len(sharding.device_set) <= 1:
         sharding = None
+    put = _grid_put(sharding)
+    return _prefetch_map(
+        lambda rec: {k: put(v) for k, v in rec.items()}, records,
+        buffer_size)
 
-    def put(x):
-        # only grid-shaped fields get the grid sharding; scalars (e.g.
-        # isecday_utc) are replicated
-        if sharding is not None and np.ndim(x) >= len(sharding.spec):
-            return jax.device_put(x, sharding)
-        return jax.device_put(x)
 
-    def producer():
-        try:
-            for rec in records:
-                q.put({k: put(v) for k, v in rec.items()})
-        finally:
-            q.put(_END)
+def _stack_chunk(batch, isecday_key):
+    """Stack a list of per-record dicts into one (k, ...) chunk dict."""
+    out = {k: np.stack([np.asarray(r[k]) for r in batch])
+           for k in batch[0] if k != isecday_key}
+    if isecday_key in batch[0]:
+        out[isecday_key] = np.asarray([r[isecday_key] for r in batch],
+                                      np.int32)
+    return out
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        yield item
+
+def _chunk_records(records, chunk, isecday_key):
+    batch = []
+    for rec in records:
+        batch.append(rec)
+        if len(batch) == chunk:
+            yield _stack_chunk(batch, isecday_key)
+            batch = []
+    if batch:
+        yield _stack_chunk(batch, isecday_key)
+
+
+def _default_collect(out):
+    """Keep the flux headline fields; tolerate the fused backend's reduced
+    output set (Tau=None)."""
+    import jax.numpy as jnp
+    tau = out.Tau if out.Tau is not None else jnp.hypot(out.Tau_x,
+                                                        out.Tau_y)
+    return {"QL": out.QL, "QH": out.QH, "Tau": tau, "Evap": out.Evap}
+
+
+class _InflightCollector:
+    """Deferred, overlapped output collection.
+
+    ``push(out)`` applies ``collect`` (a *selection*: it may return jax
+    arrays), starts the async D2H copy of every selected leaf, and only
+    materializes (``np.asarray``) a pushed selection once ``inflight``
+    newer ones exist — so the device is never idled by a blocking
+    read-back of the record it just produced (VERDICT r3 item 1a).
+    """
+
+    def __init__(self, collect: Optional[Callable], inflight: int):
+        self.collect = _default_collect if collect is None else collect
+        self.inflight = max(0, int(inflight))
+        self.pending: "collections.deque" = collections.deque()
+        self.results = []
+
+    @staticmethod
+    def _materialize(sel):
+        return jax.tree_util.tree_map(np.asarray, sel)
+
+    def push(self, out):
+        sel = self.collect(out)
+        for leaf in jax.tree_util.tree_leaves(sel):
+            if isinstance(leaf, jax.Array):
+                leaf.copy_to_host_async()
+        self.pending.append(sel)
+        while len(self.pending) > self.inflight:
+            self.results.append(self._materialize(self.pending.popleft()))
+
+    def drain(self):
+        while self.pending:
+            self.results.append(self._materialize(self.pending.popleft()))
+        return self.results
 
 
 def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
                          skin_state=None, sharding=None,
                          isecday_key: str = "isecday_utc",
                          lon=None,
-                         collect: Optional[Callable] = None):
-    """Sequential time stepping with a double-buffered device feed.
+                         collect: Optional[Callable] = None,
+                         inflight: int = 2,
+                         chunk: Optional[int] = None,
+                         backend: str = "jit",
+                         fused_block=(32, 256), fused_interpret=None,
+                         buffer_size: int = 2):
+    """Sequential time stepping with an overlapped host->device feed.
 
     Unlike :func:`aerobulk_tpu.run_series` (whole series resident on
     device, ``lax.scan``), this streams records from the host — the right
     shape when the forcing does not fit in HBM (e.g. years of 0.25-degree
-    global fields).  ``collect(out)`` maps each FluxOutput to what should
-    be kept (default: QL/QH/Tau/Evap on host).
+    global fields).
+
+    ``collect(out)`` selects what to keep from each FluxOutput (default:
+    QL/QH/Tau/Evap).  It may return jax arrays: their device->host copies
+    start asynchronously at dispatch time and are materialized to numpy
+    only after ``inflight`` further records have been dispatched, so
+    read-back never serializes against the next dispatch.
+
+    ``chunk=K`` switches to chunked streaming: K records are stacked on
+    the host, shipped in one transfer, and scanned on device via
+    :func:`run_series` (``backend="fused"`` selects the Pallas kernel —
+    the TPU speed path), amortizing the fixed per-dispatch cost over
+    K * npoints.  ``collect`` then receives the chunk's stacked
+    FluxOutput and each element of the returned results list covers K
+    records (the final one possibly fewer).  Chunked + ``sharding`` is
+    supported for ``backend="jit"``; for multi-chip fused scans use
+    :func:`aerobulk_tpu.sharding.sharded_run_series` (pallas_call does
+    not auto-partition under jit).
 
     Returns ``(list of collected outputs, final SkinState)``.
     """
-    from .api import flux_step, init_skin_state
-
-    if collect is None:
-        def collect(out):
-            return {"QL": np.asarray(out.QL), "QH": np.asarray(out.QH),
-                    "Tau": np.asarray(out.Tau),
-                    "Evap": np.asarray(out.Evap)}
-
-    @jax.jit
-    def step(rec, isd, state):
-        out, new_state = flux_step(
-            cfg, rec["sst"], rec["t_zt"], rec["hum_zt"], rec["U_zu"],
-            rec["V_zu"], rec["slp"],
-            rad_sw=rec.get("rad_sw"), rad_lw=rec.get("rad_lw"),
-            isecday_utc=isd, lon=rec.get("lon", lon),
-            skin_state=state)
-        return out, new_state
+    from .api import FluxOutput, flux_step, init_skin_state, run_series
 
     if sharding is not None and len(sharding.device_set) <= 1:
         sharding = None
 
+    coll = _InflightCollector(collect, inflight)
     state = skin_state
-    results = []
-    for rec in prefetch_to_device(records, sharding=sharding):
-        isd = rec.pop(isecday_key, 43200)
+
+    if chunk is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ch_shard = rep_shard = None
+        if sharding is not None:
+            if backend == "fused":
+                raise ValueError(
+                    "run_series_pipelined: chunked fused streaming over a "
+                    "multi-device sharding is not supported under plain "
+                    "jit (pallas_call does not auto-partition); use "
+                    "sharding.sharded_run_series per chunk instead")
+            ch_shard = NamedSharding(sharding.mesh, P(None, *sharding.spec))
+            rep_shard = NamedSharding(sharding.mesh, P())
+
+        def put_chunk(ch):
+            isd = ch.pop(isecday_key, None)
+            dev = {k: jax.device_put(v, ch_shard) for k, v in ch.items()}
+            if isd is not None:
+                dev[isecday_key] = jax.device_put(isd, rep_shard)
+            return dev
+
+        run_kw = dict(backend=backend)
+        if backend == "fused":
+            run_kw.update(fused_block=fused_block,
+                          fused_interpret=fused_interpret)
+
+        @jax.jit
+        def chunk_step(fc, isd, st):
+            return run_series(cfg, fc, skin_state=st, isecday_utc=isd,
+                              lon=lon, **run_kw)
+
+        for ch in _prefetch_map(put_chunk,
+                                _chunk_records(records, chunk, isecday_key),
+                                buffer_size):
+            isd = ch.pop(isecday_key, None)
+            if state is None:
+                state = init_skin_state(cfg, ch["sst"].shape[1:],
+                                        ch["sst"].dtype)
+                if sharding is not None:
+                    state = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, sharding), state)
+            outs, state = chunk_step(ch, isd, state)
+            coll.push(outs)
+        return coll.drain(), state
+
+    if backend == "fused":
+        from .kernels.fused import fused_flux_step
+
+        @jax.jit
+        def step(rec, isd, st):
+            import jax.numpy as jnp
+            lo = rec.get("lon", lon)
+            if lo is None:
+                lo = jnp.zeros_like(rec["sst"])
+            (QL, QH, Tau_x, Tau_y, Evap, T_s), ns = fused_flux_step(
+                cfg, rec["sst"], rec["t_zt"], rec["hum_zt"], rec["U_zu"],
+                rec["V_zu"], rec["slp"], rec["rad_sw"], rec["rad_lw"],
+                lon=lo, isecday_utc=isd, skin_state=st, block=fused_block,
+                interpret=fused_interpret)
+            return FluxOutput(QL=QL, QH=QH, Tau=None, Tau_x=Tau_x,
+                              Tau_y=Tau_y, Evap=Evap, T_s=T_s, rho_a=None,
+                              diag=None), ns
+    else:
+        @jax.jit
+        def step(rec, isd, st):
+            return flux_step(
+                cfg, rec["sst"], rec["t_zt"], rec["hum_zt"], rec["U_zu"],
+                rec["V_zu"], rec["slp"],
+                rad_sw=rec.get("rad_sw"), rad_lw=rec.get("rad_lw"),
+                isecday_utc=isd, lon=rec.get("lon", lon), skin_state=st)
+
+    for rec in prefetch_to_device(records, sharding=sharding,
+                                  buffer_size=buffer_size):
+        isd = rec.pop(isecday_key, None)
         if state is None:
             state = init_skin_state(cfg, rec["sst"].shape, rec["sst"].dtype)
             if sharding is not None:
                 state = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, sharding), state)
         out, state = step(rec, isd, state)
-        results.append(collect(out))
-    return results, state
+        coll.push(out)
+    return coll.drain(), state

@@ -92,13 +92,16 @@ def save_skin_state_sharded(path: str, state: SkinState):
     ``np.asarray`` would fail on a non-fully-addressable array).
 
     ``path`` must be a directory path (Orbax checkpoint format).  Blocks
-    until the checkpoint is durable.
+    until the checkpoint is durable.  An existing checkpoint at ``path``
+    is overwritten (``force=True``), matching :func:`save_skin_state`'s
+    np.savez semantics — periodic checkpointing to a fixed resume path
+    just works.
     """
     import os
 
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), state._asdict())
+    ckptr.save(os.path.abspath(path), state._asdict(), force=True)
     ckptr.wait_until_finished()
     ckptr.close()
 
@@ -108,15 +111,28 @@ def load_skin_state_sharded(path: str, like: SkinState) -> SkinState:
     placing each field with the sharding/dtype/shape of the matching
     field of ``like`` (e.g. a freshly built ``init_skin_state`` already
     ``device_put`` onto the mesh) — each host reads only its shards.
+
+    Every field of ``like`` must be a ``jax.Array`` carrying a sharding;
+    a numpy ``like`` would silently fall back to Orbax's
+    restore-sharding-from-file path, which is unsafe across topologies.
     """
     import os
 
     import jax
     import orbax.checkpoint as ocp
-    abstract = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
-                                       sharding=getattr(a, "sharding", None)),
-        like._asdict())
+
+    def spec(name, a):
+        sh = getattr(a, "sharding", None)
+        if sh is None:
+            raise TypeError(
+                f"load_skin_state_sharded: like.{name} has no .sharding "
+                f"(got {type(a).__name__}); pass jax.Arrays (e.g. an "
+                "init_skin_state device_put onto the mesh) so each field "
+                "restores with a known placement — or use load_skin_state "
+                "for host-local npz checkpoints")
+        return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh)
+
+    abstract = {k: spec(k, a) for k, a in like._asdict().items()}
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path), abstract)
     ckptr.close()

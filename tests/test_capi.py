@@ -72,6 +72,55 @@ def test_model_buffers_skin_state_carry():
     assert ts2 != ts1                # warm layer accumulated
 
 
+def test_model_buffers_detects_dew_point():
+    """AEROBULK_INIT semantics at jt==1 (mod_aerobulk.f90:126-153): a C++
+    caller handing over dew-point humidity [K] — legal for the reference —
+    must get type_of_humidity detection, not a silent 'sh' assumption."""
+    import jax.numpy as jnp
+    from aerobulk_tpu.api import AeroBulkConfig, flux_step
+
+    n = 2
+    sst = np.array([295.15, 295.15])
+    t_zt = np.array([293.15, 298.15])
+    dp = np.array([288.15, 289.15])        # dew point [K]
+    U = np.array([5.0, 5.0])
+    V = np.array([0.0, 0.0])
+    slp = np.array([101000.0, 101000.0])
+
+    QL, QH, Tx, Ty, E = (_bufs(n) for _ in range(5))
+    capi.model_buffers(1, 1, "ncar", 2.0, 10.0,
+                       sst.tobytes(), t_zt.tobytes(), dp.tobytes(),
+                       U.tobytes(), V.tobytes(), slp.tobytes(),
+                       QL, QH, Tx, Ty, E, niter=10)
+
+    cfg = AeroBulkConfig(algo="ncar", zt=2.0, zu=10.0, niter=10,
+                         humidity="dp")
+    out, _ = flux_step(cfg, *(jnp.asarray(x) for x in
+                              (sst, t_zt, dp, U, V, slp)))
+    np.testing.assert_allclose(np.frombuffer(QL), np.asarray(out.QL),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.frombuffer(QH), np.asarray(out.QH),
+                               rtol=1e-12)
+
+
+def test_model_buffers_rejects_bad_units():
+    """The jt==1 validation path aborts on unit-inconsistent inputs, like
+    the reference's check_unit_consistency (mod_phymbl.f90:1851-1954)."""
+    n = 2
+    sst_degC = np.array([22.0, 22.0])      # Celsius — wrong units
+    t_zt = np.array([293.15, 298.15])
+    q = np.array([0.012, 0.012])
+    U = np.array([5.0, 5.0])
+    V = np.array([0.0, 0.0])
+    slp = np.array([101000.0, 101000.0])
+    QL, QH, Tx, Ty, E = (_bufs(n) for _ in range(5))
+    with pytest.raises(ValueError):
+        capi.model_buffers(1, 1, "ncar", 2.0, 10.0,
+                           sst_degC.tobytes(), t_zt.tobytes(), q.tobytes(),
+                           U.tobytes(), V.tobytes(), slp.tobytes(),
+                           QL, QH, Tx, Ty, E, niter=10)
+
+
 @pytest.mark.skipif(shutil.which("cmake") is None or
                     shutil.which("ninja") is None,
                     reason="no C++ toolchain")

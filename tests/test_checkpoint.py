@@ -92,3 +92,18 @@ def test_sharded_checkpoint_roundtrip_preserves_sharding(tmp_path):
     out_b, _ = run_series(cfg, {k: v[2:] for k, v in forcing.items()},
                           skin_state=restored, isecday_utc=isd[2:])
     np.testing.assert_array_equal(np.asarray(out_a.QL), np.asarray(out_b.QL))
+
+    # periodic checkpointing to a FIXED path overwrites (np.savez
+    # semantics) instead of raising 'Destination already exists'
+    state2 = jax.tree.map(lambda a: a + 0.25, state_sharded)
+    save_skin_state_sharded(path, state2)
+    again = load_skin_state_sharded(path, like)
+    np.testing.assert_array_equal(np.asarray(again.dT_wl),
+                                  np.asarray(state2.dT_wl))
+
+    # a `like` without shardings (numpy) is rejected loudly instead of
+    # silently falling back to restore-sharding-from-file
+    import pytest
+    like_np = jax.tree.map(np.asarray, init_skin_state(cfg, (npts,)))
+    with pytest.raises(TypeError, match="sharding"):
+        load_skin_state_sharded(path, like_np)

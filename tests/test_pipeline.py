@@ -52,3 +52,112 @@ def test_pipelined_matches_scan():
         rtol=1e-12)
     np.testing.assert_allclose(np.asarray(final_state.dT_wl),
                                np.asarray(scan_state.dT_wl), rtol=1e-12)
+
+
+def _scan_reference(cfg, nt, npts):
+    recs = list(_records(nt, npts))
+    forcing = {k: jnp.asarray(np.stack([r[k] for r in recs]))
+               for k in ("sst", "t_zt", "hum_zt", "U_zu", "V_zu", "slp",
+                         "rad_sw", "rad_lw")}
+    isd = jnp.asarray([r["isecday_utc"] for r in recs], jnp.int32)
+    return run_series(cfg, forcing, isecday_utc=isd)
+
+
+def test_chunked_matches_scan_uneven_final_chunk():
+    """chunk=4 over nt=6 (a full chunk + a ragged 2-record tail) carries
+    the warm-layer state across chunk boundaries exactly like one scan."""
+    nt, npts = 6, 4
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+
+    results, final_state = run_series_pipelined(
+        cfg, _records(nt, npts), chunk=4)
+    assert len(results) == 2
+    assert results[0]["QL"].shape == (4, npts)
+    assert results[1]["QL"].shape == (2, npts)
+
+    outs, scan_state = _scan_reference(cfg, nt, npts)
+    QL = np.concatenate([r["QL"] for r in results])
+    np.testing.assert_allclose(QL, np.asarray(outs.QL), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(final_state.dT_wl),
+                               np.asarray(scan_state.dT_wl), rtol=1e-12)
+
+
+def test_chunked_fused_matches_unchunked_fused():
+    """Chunked streaming with the fused backend (interpret mode on CPU)
+    equals the resident fused scan bitwise — state crosses chunks."""
+    nt, ny, nx = 5, 4, 8
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+
+    def recs2d(nt):
+        for r in _records(nt, ny * nx):
+            yield {k: (v.reshape(ny, nx) if np.ndim(v) else v)
+                   for k, v in r.items()}
+
+    results, final_state = run_series_pipelined(
+        cfg, recs2d(nt), chunk=2, backend="fused", fused_block=(8, 128),
+        fused_interpret=True)
+
+    recs = list(recs2d(nt))
+    forcing = {k: jnp.asarray(np.stack([r[k] for r in recs]))
+               for k in ("sst", "t_zt", "hum_zt", "U_zu", "V_zu", "slp",
+                         "rad_sw", "rad_lw")}
+    isd = jnp.asarray([r["isecday_utc"] for r in recs], jnp.int32)
+    outs, scan_state = run_series(cfg, forcing, isecday_utc=isd,
+                                  backend="fused", fused_block=(8, 128),
+                                  fused_interpret=True)
+    QL = np.concatenate([r["QL"] for r in results])
+    np.testing.assert_allclose(QL, np.asarray(outs.QL), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(final_state.dT_wl),
+                               np.asarray(scan_state.dT_wl), rtol=0, atol=0)
+
+
+def test_per_record_fused_backend():
+    """backend='fused' in per-record mode matches the fused scan."""
+    nt, ny, nx = 3, 4, 8
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+
+    def recs2d(nt):
+        for r in _records(nt, ny * nx):
+            yield {k: (v.reshape(ny, nx) if np.ndim(v) else v)
+                   for k, v in r.items()}
+
+    results, _ = run_series_pipelined(
+        cfg, recs2d(nt), backend="fused", fused_block=(8, 128),
+        fused_interpret=True)
+    recs = list(recs2d(nt))
+    forcing = {k: jnp.asarray(np.stack([r[k] for r in recs]))
+               for k in ("sst", "t_zt", "hum_zt", "U_zu", "V_zu", "slp",
+                         "rad_sw", "rad_lw")}
+    isd = jnp.asarray([r["isecday_utc"] for r in recs], jnp.int32)
+    outs, _ = run_series(cfg, forcing, isecday_utc=isd, backend="fused",
+                         fused_block=(8, 128), fused_interpret=True)
+    np.testing.assert_allclose(
+        np.stack([r["QL"] for r in results]), np.asarray(outs.QL),
+        rtol=0, atol=0)
+
+
+def test_collect_selection_materialized_deferred():
+    """collect may return jax arrays; the pipeline materializes them to
+    numpy after `inflight` newer records, in order."""
+    nt, npts = 5, 4
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+    results, _ = run_series_pipelined(
+        cfg, _records(nt, npts), inflight=3,
+        collect=lambda out: {"ts": out.T_s})
+    assert len(results) == nt
+    assert all(isinstance(r["ts"], np.ndarray) for r in results)
+    outs, _ = _scan_reference(cfg, nt, npts)
+    np.testing.assert_allclose(np.stack([r["ts"] for r in results]),
+                               np.asarray(outs.T_s), rtol=1e-12)
+
+
+def test_producer_exception_propagates():
+    cfg = AeroBulkConfig(algo="ncar", niter=5)
+
+    def bad_records():
+        yield from _records(1, 4)
+        raise RuntimeError("forcing file truncated")
+
+    import pytest
+    with pytest.raises(RuntimeError, match="truncated"):
+        run_series_pipelined(cfg, bad_records())
