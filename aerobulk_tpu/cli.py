@@ -242,7 +242,30 @@ def cmd_series(args):
     if backend == "fused":
         # the fused kernel wants 2-D (y, x) grids; station series are (nt, 1)
         forcing = {k: v.reshape(nt, 1, -1) for k, v in forcing.items()}
-    outs, _ = run_series(cfg, forcing, isecday_utc=isd, backend=backend)
+    chunk = getattr(args, "chunk", 0)
+    if chunk:
+        # streamed driver (run_series_pipelined chunked mode): records are
+        # fed host->device chunk by chunk with the compute of chunk k
+        # overlapping the transfer of chunk k+1 — the production shape
+        # when the forcing does not fit in HBM.
+        import jax
+        from .pipeline import run_series_pipelined
+
+        isd_np = np.asarray(isd)
+
+        def records():
+            for jt in range(nt):
+                rec = {k: np.asarray(v[jt]) for k, v in forcing.items()}
+                rec["isecday_utc"] = np.int32(isd_np[jt])
+                yield rec
+
+        chunks, _ = run_series_pipelined(cfg, records(), chunk=chunk,
+                                         backend=backend,
+                                         collect=lambda o: o)
+        outs = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs), *chunks)
+    else:
+        outs, _ = run_series(cfg, forcing, isecday_utc=isd, backend=backend)
 
     def first_col(x):
         return np.asarray(x).reshape(nt, -1)[:, 0]
@@ -536,6 +559,10 @@ def main(argv=None):
     s.add_argument("--backend", default="jit", choices=("jit", "fused"),
                    help="per-step implementation: plain XLA (default) or "
                         "the fused Pallas TPU kernel (needs --skin)")
+    s.add_argument("--chunk", type=int, default=0, metavar="K",
+                   help="stream the series host->device K records at a "
+                        "time (overlapped chunked pipeline) instead of "
+                        "keeping it device-resident")
     s.add_argument("--out", default="aerobulk_series.nc")
     s.set_defaults(fn=cmd_series)
 

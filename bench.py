@@ -70,7 +70,6 @@ def parity_check(cfg, args, state, shape, dtype):
 
     Returns a dict of parity fields for the bench JSON line."""
     import jax
-    import numpy as np
     from aerobulk_tpu.api import flux_step
     from aerobulk_tpu.kernels.fused import fused_flux_step
 
@@ -93,8 +92,14 @@ def parity_check(cfg, args, state, shape, dtype):
 
     ref, _ = run_jit(state)
     got, _ = run_fused(state)
+    return _parity_fields(("QL", "QH", "Tau_x", "Tau_y", "Evap", "T_s"),
+                          got, ref)
 
-    names = ("QL", "QH", "Tau_x", "Tau_y", "Evap", "T_s")
+
+def _parity_fields(names, got, ref):
+    """Fused-vs-jit deviation statistics + the gate (shared by the
+    headline parity_check and the per-workload gates in --all)."""
+    import numpy as np
     rels = []
     per_var = {}
     frac_by_var = {}
@@ -135,14 +140,18 @@ def parity_check(cfg, args, state, shape, dtype):
         "parity_worst_frac_abs_gt_10pct_median": frac_sig,
         # fp32 gate at measured+margin (tools/fp32_tail.py, 2026-08-19:
         # median 4.4e-5, p99 6.9e-3; QH max ABS error 1.3 W/m^2 against a
-        # 12.5 W/m^2 median).  The bulk must sit at fp32-roundoff scale
-        # and the SIGNIFICANT tail (abs > 10% of the field median) must
-        # stay a vanishing fraction; the pointwise-relative max is
-        # reported but not gated — it measures denominator conditioning,
-        # not kernel correctness (docs/PARITY.md "fp32 tail").
+        # 12.5 W/m^2 median; significant-abs fraction measured 1.9e-6).
+        # The bulk must sit at fp32-roundoff scale and the SIGNIFICANT
+        # tail (abs > 10% of the field median) must stay a vanishing
+        # fraction — gated at 1e-4, a 50x margin over measurement
+        # (VERDICT r3 item 4: the old 2e-3 gate had 1000x slack and
+        # would have passed a real new branch-flip class silently).  The
+        # pointwise-relative max is reported but not gated — it measures
+        # denominator conditioning, not kernel correctness
+        # (docs/PARITY.md "fp32 tail").
         "parity_ok": bool(np.median(rel) < 2e-4
                           and np.percentile(rel, 99) < 2e-2
-                          and frac_sig < 2e-3),
+                          and frac_sig < 1e-4),
     }
     return fields
 
@@ -319,10 +328,17 @@ def main_all():
 
             dt_s = _timeit_scan(step, (state0, jnp.zeros(shape, dtype)), reps)
             pts = shape[0] * shape[1] / dt_s
-            print(json.dumps({"metric": name, "value": round(pts, 1),
-                              "unit": "points/s",
-                              "vs_baseline": round(
-                                  pts / BASELINE_CPU_POINTS_S, 2)}))
+            rec = {"metric": name, "value": round(pts, 1),
+                   "unit": "points/s",
+                   "vs_baseline": round(pts / BASELINE_CPU_POINTS_S, 2)}
+            if "--no-check" not in sys.argv:
+                # on-device fused-vs-jit parity for THIS workload (VERDICT
+                # r3 item 3: every fused speed claim carries parity
+                # evidence; costs one jit-path compile per workload)
+                args = (f["sst"], f["t"], f["q"], f["u"], f["v"],
+                        f["slp"], f["rsw"], f["rlw"], f["lon"])
+                rec.update(parity_check(cfg, args, state0, shape, dtype))
+            print(json.dumps(rec))
             return
 
         def step(carry):
@@ -423,9 +439,30 @@ def main_all():
 
     dt_s = _timeit_scan(step_mixed, jnp.zeros((NY, NX), dtype), 10)
     pts = NY * NX / dt_s
-    print(json.dumps({"metric": "mixed_ice_ocean_0p25deg_points_per_s",
-                      "value": round(pts, 1), "unit": "points/s",
-                      "vs_baseline": round(pts / BASELINE_CPU_POINTS_S, 2)}))
+    rec = {"metric": "mixed_ice_ocean_0p25deg_points_per_s",
+           "value": round(pts, 1), "unit": "points/s",
+           "vs_baseline": round(pts / BASELINE_CPU_POINTS_S, 2)}
+    if fused and "--no-check" not in sys.argv:
+        # on-device fused-vs-jit parity for the mixed workload (net
+        # fluxes; same significant-abs-fraction gate)
+        import jax
+
+        @jax.jit
+        def run_jit_mixed():
+            net, _, _ = flux_step_mixed(
+                2.0, 10.0, Ts_i, f["sst"], f["t"], f["q"], f["u"], f["v"],
+                f["slp"], f["frice"], niter=NITER)
+            return net.QL, net.QH, net.Tau, net.Evap, net.T_s
+
+        @jax.jit
+        def run_fused_mixed():
+            return fused_mixed_step(
+                2.0, 10.0, Ts_i, f["sst"], f["t"], f["q"], f["u"], f["v"],
+                f["slp"], f["frice"], niter=NITER)
+
+        rec.update(_parity_fields(("QL", "QH", "Tau", "Evap", "T_s"),
+                                  run_fused_mixed(), run_jit_mixed()))
+    print(json.dumps(rec))
 
 
 def main_bf16():
@@ -559,6 +596,181 @@ def main_grad():
     print(json.dumps(record))
 
 
+def _arg_int(name, default):
+    for i, a in enumerate(sys.argv):
+        if a == name and i + 1 < len(sys.argv):
+            return int(sys.argv[i + 1])
+        if a.startswith(name + "="):
+            return int(a.split("=", 1)[1])
+    return default
+
+
+def _tunnel_bandwidth():
+    """Measured H2D / D2H bandwidth of this host<->device link, by slope
+    between a small and a large transfer (cancels the fixed per-RPC
+    cost).  The sync for H2D is a dependent scalar reduction pulled to
+    host (block_until_ready is not a reliable sync on this tunnel)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    def h2d_time(nbytes):
+        x = np.empty(nbytes // 4, np.float32)
+        x[:16] = np.arange(16)
+
+        def once():
+            t0 = time.perf_counter()
+            d = jax.device_put(x)
+            float(jnp.sum(d[:8]))          # true sync, tiny D2H
+            return time.perf_counter() - t0
+        return min(once() for _ in range(3))
+
+    def d2h_time(nbytes):
+        d = jax.device_put(np.empty(nbytes // 4, np.float32))
+        float(jnp.sum(d[:8]))              # ensure resident
+
+        def once(i):
+            # np.asarray of a jax.Array is cached after the first pull —
+            # add a scalar on device so each timing pulls a FRESH array;
+            # the tiny dispatch cost is identical for both sizes and
+            # cancels in the slope
+            y = d + np.float32(i)
+            t0 = time.perf_counter()
+            np.asarray(y)
+            return time.perf_counter() - t0
+        return min(once(i) for i in range(3))
+
+    small, big = 8 << 20, 64 << 20
+    h2d = (big - small) / (h2d_time(big) - h2d_time(small))
+    d2h = (big - small) / (d2h_time(big) - d2h_time(small))
+    return h2d, d2h
+
+
+def main_streamed():
+    """End-to-end STREAMED production run (VERDICT r3 item 1): sustained
+    points/s INCLUDING the host->device feed of every record and the
+    device->host collection of the fluxes, for >= 24 records of the
+    0.25-degree fp32 COARE3.6+skin workload — the reference's flagship
+    IO-fed stateful time loop (test_aerobulk_buoy_series_oce.f90:364-537)
+    at production scale.  Streams through run_series_pipelined's chunked
+    fused mode (one H2D transfer + one fused-scan dispatch per `chunk`
+    records, outputs collected asynchronously `inflight` chunks behind).
+
+    Alongside the streamed number the SAME program is timed compute-only
+    (device-resident forcing) and the raw tunnel H2D/D2H bandwidth is
+    measured, so the gap is attributed: overlap_efficiency is streamed /
+    compute-only, and overlap_efficiency_vs_bound divides by the
+    best-case rate any pipeline could reach given the measured link
+    (min of compute rate and transfer-bound rate).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from aerobulk_tpu.api import AeroBulkConfig, init_skin_state, run_series
+    from aerobulk_tpu.pipeline import run_series_pipelined
+
+    niter = _arg_niter()
+    nrec = _arg_int("--nrec", 48)
+    chunk = _arg_int("--chunk", 8)
+    nrec = max(chunk, nrec - nrec % chunk)   # whole chunks only
+    dtype = jnp.float32
+    shape = (NY, NX)
+    cfg = AeroBulkConfig(algo="coare3p6", zt=2.0, zu=10.0, niter=niter,
+                         use_skin=True)
+    backend = "fused" if _use_fused() else "jit"
+
+    rng = np.random.default_rng(42)
+    base = {
+        "sst": (285.0 + 15.0 * rng.random(shape)).astype(np.float32),
+        "t_zt": (283.0 + 17.0 * rng.random(shape)).astype(np.float32),
+        "hum_zt": (0.004 + 0.012 * rng.random(shape)).astype(np.float32),
+        "U_zu": rng.normal(0.0, 6.0, shape).astype(np.float32),
+        "V_zu": rng.normal(0.0, 6.0, shape).astype(np.float32),
+        "slp": (98000.0 + 4000.0 * rng.random(shape)).astype(np.float32),
+        "rad_sw": (500.0 * rng.random(shape)).astype(np.float32),
+        "rad_lw": (250.0 + 150.0 * rng.random(shape)).astype(np.float32),
+    }
+    lon = jnp.asarray(360.0 * rng.random(shape), dtype)
+
+    def records(n):
+        # sst varies per record (fresh bytes); the other 7 fields are
+        # re-sent each record exactly as a real forcing stream would be
+        for jt in range(n):
+            rec = dict(base)
+            rec["sst"] = base["sst"] + np.float32(0.01 * jt)
+            rec["isecday_utc"] = np.int32((jt * 3600) % 86400)
+            yield rec
+
+    run_kw = dict(chunk=chunk, backend=backend, lon=lon, inflight=2)
+
+    # warmup: compiles the chunked fused scan (+ materializes collection)
+    _, state_w = run_series_pipelined(cfg, records(chunk), **run_kw)
+    del state_w
+
+    t0 = time.perf_counter()
+    results, state = run_series_pipelined(cfg, records(nrec), **run_kw)
+    np.asarray(state.dT_wl)                       # final true sync
+    streamed_s = time.perf_counter() - t0
+    assert len(results) == nrec // chunk
+    streamed_pts = nrec * NY * NX / streamed_s
+
+    # compute-only: the same chunked fused-scan program, forcing resident
+    # on device, same number of dispatches, one final D2H sync
+    forcing_dev = {k: jax.device_put(
+        np.broadcast_to(v, (chunk,) + shape).copy()) for k, v in
+        base.items()}
+    isd_dev = jax.device_put(
+        np.arange(chunk, dtype=np.int32) * 3600 % 86400)
+    ckw = dict(backend=backend)
+    if backend == "fused":
+        ckw.update(fused_block=(32, 256))
+
+    @jax.jit
+    def chunk_scan(fc, isd, st):
+        return run_series(cfg, fc, skin_state=st, isecday_utc=isd,
+                          lon=lon, **ckw)
+
+    state0 = init_skin_state(cfg, shape, dtype)
+    _, st = chunk_scan(forcing_dev, isd_dev, state0)   # compile
+    np.asarray(st.dT_wl)
+    t0 = time.perf_counter()
+    st = state0
+    for _ in range(nrec // chunk):
+        _, st = chunk_scan(forcing_dev, isd_dev, st)
+    np.asarray(st.dT_wl)
+    compute_s = time.perf_counter() - t0
+    compute_pts = nrec * NY * NX / compute_s
+
+    h2d, d2h = _tunnel_bandwidth()
+    bytes_in = 8 * 4 * NY * NX      # 8 fp32 fields per record
+    bytes_out = 4 * 4 * NY * NX     # QL/QH/Tau/Evap collected
+    # best case any pipeline could do on this link: compute and the two
+    # transfer directions fully overlapped, each record still must move
+    transfer_bound = 1.0 / (bytes_in / h2d + bytes_out / d2h)  # rec/s
+    bound_pts = min(compute_pts, transfer_bound * NY * NX)
+
+    record = {
+        "metric": "coare3p6_skin_0p25deg_streamed_points_per_s",
+        "unit": "points/s", "niter": niter, "nrec": nrec, "chunk": chunk,
+        "backend": backend,
+        "value": round(streamed_pts, 1),
+        "vs_baseline": round(streamed_pts / BASELINE_CPU_POINTS_S, 2),
+        "streamed_wall_s": round(streamed_s, 3),
+        "records_per_s": round(nrec / streamed_s, 3),
+        "compute_only_points_per_s": round(compute_pts, 1),
+        "overlap_efficiency": round(streamed_pts / compute_pts, 4),
+        "h2d_gbps": round(h2d / 1e9, 3),
+        "d2h_gbps": round(d2h / 1e9, 3),
+        "bytes_h2d_per_record": bytes_in,
+        "bytes_d2h_per_record": bytes_out,
+        "bound_points_per_s": round(bound_pts, 1),
+        "overlap_efficiency_vs_bound": round(streamed_pts / bound_pts, 4),
+    }
+    print(json.dumps(record))
+
+
 if __name__ == "__main__":
     if "--all" in sys.argv:
         main_all()
@@ -566,5 +778,7 @@ if __name__ == "__main__":
         main_bf16()
     elif "--grad" in sys.argv:
         main_grad()
+    elif "--streamed" in sys.argv:
+        main_streamed()
     else:
         main()

@@ -181,6 +181,18 @@ def test_cli_series_roundtrip(tmp_path):
     assert np.all(np.isfinite(back["Qlat"]))
     assert np.all(np.isfinite(back["dT_wl"]))
 
+    # --chunk K streams the same series through the chunked pipeline and
+    # must reproduce the resident-scan result exactly (5 records/chunk
+    # over 12 records also exercises the ragged final chunk)
+    out2 = str(tmp_path / "series_streamed.nc")
+    main(["series", forcing, "--algo", "coare3p6", "--skin",
+          "--niter", "6", "--chunk", "5", "--out", out2])
+    back2 = abio.read_forcing(out2)
+    np.testing.assert_allclose(np.asarray(back2["Qlat"]),
+                               np.asarray(back["Qlat"]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(back2["dT_wl"]),
+                               np.asarray(back["dT_wl"]), rtol=1e-12)
+
 
 @pytest.mark.slow
 def test_cli_toy_bare_subprocess_defaults_to_cpu_fp64():

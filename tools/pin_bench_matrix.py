@@ -21,10 +21,22 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 MODES = [
-    ("all", ["--all", "--no-check"]),
+    # --all runs WITH the default on-device fused-vs-jit parity gate
+    # (VERDICT r3 item 3): every fused speed row (COARE3.6+skin, ECMWF
+    # +skin, mixed ice+ocean) carries measured parity fields, at the cost
+    # of one jit-path compile per workload.
+    ("all", ["--all"]),
+    # niter20 keeps --no-check: the jit reference at niter=20 is a ~4x
+    # larger unrolled graph whose compile alone dominates the pin run;
+    # the kernel body is iteration-count-independent and its parity is
+    # gated at niter=5 in the rows above (the documented cheaper
+    # spot-gate choice VERDICT r3 item 3 allows).
     ("niter20", ["--niter", "20", "--no-check"]),
     ("bf16", ["--bf16"]),
     ("grad", ["--grad"]),       # adjoint throughput (value+gradient)
+    # end-to-end streamed production run: host->device feed of every
+    # record + async output collection (VERDICT r3 item 1c)
+    ("streamed", ["--streamed"]),
 ]
 
 
