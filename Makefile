@@ -8,8 +8,11 @@ PY ?= python3
 test:
 	$(PY) -m pytest tests/ -x -q
 
-test-fast:
-	$(PY) -m pytest tests/ -x -q --ignore=tests/test_validation.py
+test-fast:   # core correctness in <3 min; the slow marker holds the depth tests
+	$(PY) -m pytest tests/ -x -q -m "not slow"
+
+test-slow:   # just the depth tests (fuzz, long-series, heavy AD, sharded scans)
+	$(PY) -m pytest tests/ -x -q -m "slow"
 
 bench:
 	$(PY) bench.py

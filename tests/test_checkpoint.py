@@ -3,12 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from aerobulk_tpu.api import AeroBulkConfig, init_skin_state, run_series
 from aerobulk_tpu.skin import (load_skin_state, load_skin_state_sharded,
                                save_skin_state, save_skin_state_sharded)
 
 
+@pytest.mark.slow
 def test_series_checkpoint_resume(tmp_path):
     cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
     nt, npts = 10, 3
@@ -45,6 +47,7 @@ def test_series_checkpoint_resume(tmp_path):
                                np.asarray(state_full.Qnt_ac), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_checkpoint_roundtrip_preserves_sharding(tmp_path):
     """Orbax checkpoint of a mesh-sharded SkinState: bitwise round-trip,
     restored arrays carry the target sharding, and a sharded series

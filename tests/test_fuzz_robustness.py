@@ -16,6 +16,9 @@ from aerobulk_tpu import thermo
 from aerobulk_tpu.api import AeroBulkConfig, flux_step, flux_step_ice
 from aerobulk_tpu.ice import ICE_ALGOS
 
+# depth tests: full-range fuzz sweeps — deselect with -m 'not slow' (make test-fast)
+pytestmark = pytest.mark.slow
+
 
 def _fuzz_inputs(n=20000, seed=77):
     rng = np.random.default_rng(seed)

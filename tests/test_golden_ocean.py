@@ -117,6 +117,7 @@ def test_readme_toy_table(algo):
 
 
 @pytest.mark.parametrize("algo", sorted(OCEAN_ALGOS))
+@pytest.mark.slow
 def test_jit_and_grid_consistency(algo):
     """jit(flux_step) over a 2-D grid == per-point results (pointwise op)."""
     import jax

@@ -40,6 +40,7 @@ def test_flux_gradient_matches_finite_difference(algo):
     assert float(g) < 0.0
 
 
+@pytest.mark.slow
 def test_series_gradient_through_scan():
     """Gradients flow through the warm-layer state across time steps."""
     from aerobulk_tpu.api import run_series
@@ -70,6 +71,7 @@ STABLE, UNSTABLE = +2.0, -3.0
 @pytest.mark.parametrize("algo", ["coare3p0", "coare3p6", "ncar", "ecmwf",
                                   "andreas"])
 @pytest.mark.parametrize("dt_air", [STABLE, UNSTABLE])
+@pytest.mark.slow
 def test_gradient_finite_both_stability_regimes(algo, dt_air):
     """jax.grad is finite on BOTH sides of neutral for every ocean algo.
 
@@ -90,6 +92,7 @@ def test_gradient_finite_both_stability_regimes(algo, dt_air):
 
 
 @pytest.mark.parametrize("algo", ["coare3p6", "ecmwf"])
+@pytest.mark.slow
 def test_gradient_finite_in_cooling_regime(algo):
     """Nighttime (rad_sw=0, net cooling) gradients are finite with the
     skin schemes on.
@@ -115,6 +118,7 @@ def test_gradient_finite_in_cooling_regime(algo):
     assert np.isfinite(g) and g != 0.0
 
 
+@pytest.mark.slow
 def test_fused_step_gradient_matches_jit_path():
     """The fused Pallas kernel is differentiable via its custom VJP
     (backward pass = AD of the jit semantics path, kernels/fused.py
@@ -151,6 +155,7 @@ def test_fused_step_gradient_matches_jit_path():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_run_series_remat_gradient_matches():
     """``run_series(remat=True)`` (jax.checkpoint on the scan body — O(1)
     residual memory for long-series adjoints) gives the same gradient as
@@ -179,6 +184,7 @@ def test_run_series_remat_gradient_matches():
     np.testing.assert_allclose(g_remat, g_plain, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_gradient_finite_ice_mixed_and_neutral():
     """Every remaining differentiable surface — the 7 ice algorithms,
     both mixed ocean+ice paths (separate and the LG15_IO simultaneous
@@ -241,6 +247,7 @@ def _linearize_inputs(n, seed=7):
 
 @pytest.mark.parametrize("wrt,eps", [("sst", 1e-4), ("t_zt", 1e-4),
                                      ("U_zu", 1e-5), ("hum_zt", 1e-8)])
+@pytest.mark.slow
 def test_linearized_matches_per_point_finite_difference(wrt, eps):
     """flux_step_linearized returns the per-point diagonal Jacobian —
     the implicit-coupling quantity — matching central finite differences
@@ -286,6 +293,7 @@ def test_linearized_jacobian_is_diagonal():
     assert np.all(np.diag(J) < 0.0)  # warmer ocean -> more latent loss
 
 
+@pytest.mark.slow
 def test_linearized_signs_and_errors():
     """Physical signs (dTau/dU > 0, d(QL+QH)/dSST < 0 — the negative
     air-sea feedback) and the error paths."""
@@ -306,6 +314,7 @@ def test_linearized_signs_and_errors():
 
 
 @pytest.mark.parametrize("ice_algo", ["ice_an05", "ice_lg15"])
+@pytest.mark.slow
 def test_ice_linearized_matches_per_point_finite_difference(ice_algo):
     """flux_step_ice_linearized(wrt='Ts_i') — the surface energy-balance
     Newton derivative sea-ice thermodynamic solvers need — matches
@@ -343,6 +352,7 @@ def test_ice_linearized_matches_per_point_finite_difference(ice_algo):
                                  slp, frice=frice, wrt="sst")
 
 
+@pytest.mark.slow
 def test_implicit_coupling_example():
     """examples/implicit_coupling.py (abridged horizon): backward-Euler
     slab coupling on the exact linearized fluxes is stable and accurate
@@ -357,6 +367,7 @@ def test_implicit_coupling_example():
     mod.main(days=8.0)   # asserts live inside main()
 
 
+@pytest.mark.slow
 def test_charnock_calibration_recovers_coefficients():
     """End-to-end gradient calibration THROUGH the bulk solve: recover the
     COARE 3.6 Charnock law's (slope, offset) from synthetic flux

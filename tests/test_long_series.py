@@ -28,6 +28,9 @@ from oracle import HITS, reset_hits
 from oracle import phymbl as oph
 from oracle import turb as otb
 
+# depth tests: month-scale stateful scans — deselect with -m 'not slow' (make test-fast)
+pytestmark = pytest.mark.slow
+
 NT = 720           # 30 days of hourly records
 NDAYS = NT // 24
 

@@ -28,6 +28,9 @@ from oracle import HITS, reset_hits
 from oracle import phymbl as oph
 from oracle import turb as otb
 
+# depth tests: multi-step scalar-oracle scans — deselect with -m 'not slow' (make test-fast)
+pytestmark = pytest.mark.slow
+
 NT = 120            # 5 days of hourly records
 NPTS = 4
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from aerobulk_tpu.api import AeroBulkConfig, flux_step, init_skin_state
 from aerobulk_tpu.kernels import fused_flux_step
@@ -72,6 +73,7 @@ def test_fused_kernel_padding():
     assert np.all(np.isfinite(np.asarray(p_outs[0])))
 
 
+@pytest.mark.slow
 def test_run_series_fused_backend_matches_jit():
     """run_series(backend='fused') == backend='jit' through a 3-record scan
     (interpret mode on CPU; the warm-layer state must thread identically)."""
@@ -117,6 +119,7 @@ def test_run_series_fused_backend_rejects_noskin():
         run_series(cfg, forcing, backend="fused")
 
 
+@pytest.mark.slow
 def test_sharded_fused_step_matches_unsharded():
     """The fused kernel under shard_map on an 8-device mesh == unsharded
     (pointwise workload: sharding must not change a single bit)."""
@@ -156,6 +159,7 @@ def test_sharded_fused_step_matches_unsharded():
                                   np.asarray(ref_ns.dT_wl))
 
 
+@pytest.mark.slow
 def test_sharded_run_series_multistep_matches_unsharded():
     """THE production shape (VERDICT r2 item 2): a multi-record scan with
     warm-layer state carried across records, executing device-local under
@@ -210,6 +214,7 @@ def test_sharded_run_series_multistep_matches_unsharded():
                 err_msg=f"{backend}:state.{name}")
 
 
+@pytest.mark.slow
 def test_sharded_run_series_uneven_grid_matches_unsharded():
     """Grids that do NOT divide evenly by the mesh — the real 0.25-degree
     grid is 721x1440 and 721 = 7*103, so ANY 2-D mesh hits this — are
@@ -316,6 +321,7 @@ def test_sharded_multistep_fused_program_collective_free():
     assert np.isfinite(np.asarray(out.QL)).all()
 
 
+@pytest.mark.slow
 def test_fused_mixed_step_matches_jit_path():
     """fused_mixed_step == flux_step_mixed (interpret mode on CPU)."""
     from aerobulk_tpu.api import flux_step_mixed
@@ -343,6 +349,7 @@ def test_fused_mixed_step_matches_jit_path():
                                    rtol=5e-7, atol=1e-9, err_msg=name)
 
 
+@pytest.mark.slow
 def test_fused_ice_step_matches_jit_path():
     """fused_ice_step == flux_step_ice (interpret mode on CPU), both for a
     frice-dependent algo and a pure-MOST one (no frice input)."""
@@ -402,6 +409,7 @@ def test_fused_ice_step_scalar_algo_kw():
                                rtol=5e-7, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_tune_fused_blocks_tiny():
     """The autotuner runs end-to-end (interpret mode, tiny grid) and
     returns one throughput per candidate block, fastest first."""
@@ -423,6 +431,7 @@ def test_tune_fused_mixed_blocks_tiny():
     assert block == (8, 128) and pts > 0
 
 
+@pytest.mark.slow
 def test_fused_mixed_simultaneous_parity():
     """fused_mixed_step(simultaneous=True) (interpret mode) == the jit
     LG15_IO one-pass path."""

@@ -3,6 +3,7 @@ equivalence with the scan path."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from aerobulk_tpu.api import AeroBulkConfig, run_series
 from aerobulk_tpu.pipeline import prefetch_to_device, run_series_pipelined
@@ -63,6 +64,7 @@ def _scan_reference(cfg, nt, npts):
     return run_series(cfg, forcing, isecday_utc=isd)
 
 
+@pytest.mark.slow
 def test_chunked_matches_scan_uneven_final_chunk():
     """chunk=4 over nt=6 (a full chunk + a ragged 2-record tail) carries
     the warm-layer state across chunk boundaries exactly like one scan."""
@@ -82,6 +84,7 @@ def test_chunked_matches_scan_uneven_final_chunk():
                                np.asarray(scan_state.dT_wl), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_chunked_fused_matches_unchunked_fused():
     """Chunked streaming with the fused backend (interpret mode on CPU)
     equals the resident fused scan bitwise — state crosses chunks."""
@@ -111,6 +114,7 @@ def test_chunked_fused_matches_unchunked_fused():
                                np.asarray(scan_state.dT_wl), rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_per_record_fused_backend():
     """backend='fused' in per-record mode matches the fused scan."""
     nt, ny, nx = 3, 4, 8
@@ -136,6 +140,39 @@ def test_per_record_fused_backend():
         rtol=0, atol=0)
 
 
+def test_chunked_i16_wire_close_to_exact():
+    """wire='i16' (scale-offset packed feed, half the H2D bytes) must
+    reproduce the exact-fp64 stream within quantization tolerance."""
+    nt, npts = 6, 16
+    # spread the fields so quantization has something to do
+    def recs():
+        rng = np.random.default_rng(3)
+        for jt in range(nt):
+            yield {
+                "sst": 290.0 + 10.0 * rng.random(npts),
+                "t_zt": 289.0 + 10.0 * rng.random(npts),
+                "hum_zt": 0.005 + 0.010 * rng.random(npts),
+                "U_zu": rng.normal(3.0, 2.0, npts),
+                "V_zu": rng.normal(0.0, 2.0, npts),
+                "slp": 99000.0 + 3000.0 * rng.random(npts),
+                "rad_sw": 400.0 * rng.random(npts),
+                "rad_lw": 350.0 + 60.0 * rng.random(npts),
+                "isecday_utc": np.int32(jt * 3600),
+            }
+
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+    exact, st_exact = run_series_pipelined(cfg, recs(), chunk=3)
+    packed, st_packed = run_series_pipelined(cfg, recs(), chunk=3,
+                                             wire="i16")
+    for a, b in zip(packed, exact):
+        np.testing.assert_allclose(a["QL"], b["QL"], rtol=5e-3, atol=0.5)
+        np.testing.assert_allclose(a["Tau"], b["Tau"], rtol=5e-3,
+                                   atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st_packed.dT_wl),
+                               np.asarray(st_exact.dT_wl), atol=5e-3)
+
+
+@pytest.mark.slow
 def test_collect_selection_materialized_deferred():
     """collect may return jax arrays; the pipeline materializes them to
     numpy after `inflight` newer records, in order."""

@@ -31,6 +31,7 @@ def _day_forcing(nt=24, npts=2):
             jnp.asarray(hours * 3600, jnp.int32))
 
 
+@pytest.mark.slow
 def test_run_series_builds_warm_layer_and_resets_at_dawn():
     forcing, isd = _day_forcing()
     cfg = AeroBulkConfig(algo="coare3p6", niter=10, use_skin=True)
@@ -50,6 +51,7 @@ def test_run_series_builds_warm_layer_and_resets_at_dawn():
     assert np.all(np.isfinite(np.asarray(final_state.Qnt_ac)))
 
 
+@pytest.mark.slow
 def test_run_series_matches_manual_step_loop():
     forcing, isd = _day_forcing(nt=6)
     cfg = AeroBulkConfig(algo="ecmwf", niter=5, use_skin=True)
@@ -115,6 +117,7 @@ def test_wl_coare_sunny_noon_builds_layer():
     assert 0.1 <= float(new.Hz_wl[0]) <= HWL_MAX
 
 
+@pytest.mark.slow
 def test_skin_state_shards_with_grid():
     """SkinState threads through jit with sharded inputs (8-dev CPU mesh)."""
     from aerobulk_tpu.sharding import make_grid_mesh, shard_grid_inputs
@@ -155,6 +158,7 @@ def test_skin_state_shards_with_grid():
         assert coll not in hlo, f"unexpected collective {coll!r} in HLO"
 
 
+@pytest.mark.slow
 def test_run_series_batch_records_matches_scan():
     """Stateless series: batch_records=True (one vectorized call) must
     equal the scan path exactly, and reject skin configs."""

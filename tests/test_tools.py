@@ -113,6 +113,7 @@ def test_normalize_units():
         pytest.approx(101300.0)
 
 
+@pytest.mark.slow
 def test_cli_sweeps_and_plots(tmp_path):
     from aerobulk_tpu.cli import main
     from aerobulk_tpu import plotting
@@ -160,6 +161,7 @@ def test_cli_cx_vs_wind(tmp_path):
     assert cd_unst[i25] > cd_unst[i10]
 
 
+@pytest.mark.slow
 def test_cli_series_roundtrip(tmp_path):
     from aerobulk_tpu.cli import main
     from aerobulk_tpu import io as abio

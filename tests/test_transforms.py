@@ -18,6 +18,10 @@ import pathlib
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# depth tests: vmap ensembles + hessians — deselect with -m 'not slow' (make test-fast)
+pytestmark = pytest.mark.slow
 
 
 def _load_example():

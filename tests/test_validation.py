@@ -3,6 +3,10 @@
 import numpy as np
 
 from aerobulk_tpu import validation
+import pytest
+
+# depth tests: acceptance-band build+check (~40 s) — deselect with -m 'not slow' (make test-fast)
+pytestmark = pytest.mark.slow
 
 
 def test_idealized_bands_and_acceptance(tmp_path):
