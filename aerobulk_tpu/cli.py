@@ -216,13 +216,12 @@ def cmd_series(args):
     else:
         u, v = col("u_wnd", "u10"), col("v_wnd", "v10")
 
-    forcing = dict(sst=jnp.asarray(sst), t_zt=jnp.asarray(t_air),
-                   hum_zt=jnp.asarray(hum), U_zu=jnp.asarray(u),
-                   V_zu=jnp.asarray(v), slp=jnp.asarray(slp))
+    forcing_np = dict(sst=sst, t_zt=t_air, hum_zt=hum, U_zu=u, V_zu=v,
+                      slp=slp)
     use_skin = args.skin
     if use_skin:
-        forcing["rad_sw"] = jnp.asarray(col("rad_sw", "ssrd", default=0.0))
-        forcing["rad_lw"] = jnp.asarray(col("rad_lw", "strd", default=350.0))
+        forcing_np["rad_sw"] = col("rad_sw", "ssrd", default=0.0)
+        forcing_np["rad_lw"] = col("rad_lw", "strd", default=350.0)
 
     if "time" in f:
         epoch = np.asarray(f["time"], np.float64)
@@ -241,13 +240,14 @@ def cmd_series(args):
     backend = getattr(args, "backend", "jit")
     if backend == "fused":
         # the fused kernel wants 2-D (y, x) grids; station series are (nt, 1)
-        forcing = {k: v.reshape(nt, 1, -1) for k, v in forcing.items()}
+        forcing_np = {k: v.reshape(nt, 1, -1) for k, v in forcing_np.items()}
     chunk = getattr(args, "chunk", 0)
     if chunk:
         # streamed driver (run_series_pipelined chunked mode): records are
         # fed host->device chunk by chunk with the compute of chunk k
         # overlapping the transfer of chunk k+1 — the production shape
-        # when the forcing does not fit in HBM.
+        # when the forcing does not fit in HBM.  Records stream from the
+        # HOST copy of the forcing; nothing goes device->host->device.
         import jax
         from .pipeline import run_series_pipelined
 
@@ -255,7 +255,7 @@ def cmd_series(args):
 
         def records():
             for jt in range(nt):
-                rec = {k: np.asarray(v[jt]) for k, v in forcing.items()}
+                rec = {k: v[jt] for k, v in forcing_np.items()}
                 rec["isecday_utc"] = np.int32(isd_np[jt])
                 yield rec
 
@@ -265,6 +265,7 @@ def cmd_series(args):
         outs = jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs), *chunks)
     else:
+        forcing = {k: jnp.asarray(v) for k, v in forcing_np.items()}
         outs, _ = run_series(cfg, forcing, isecday_utc=isd, backend=backend)
 
     def first_col(x):

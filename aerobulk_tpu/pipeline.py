@@ -29,6 +29,7 @@ Two granularities:
 from __future__ import annotations
 
 import collections
+import functools
 import queue
 import threading
 from typing import Callable, Dict, Iterable, Iterator, Optional
@@ -46,23 +47,40 @@ def _prefetch_map(fn, items, buffer_size: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     _END = object()
     err = []
+    stop = threading.Event()   # set when the consumer abandons the stream
+
+    def put(item):
+        # bounded put that gives up if the consumer is gone — otherwise a
+        # consumer-side exception would leave this thread blocked forever
+        # holding buffer_size device-sized buffers
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for it in items:
-                q.put(fn(it))
+                if not put(fn(it)):
+                    return
         except BaseException as e:   # re-raised on the consumer side
             err.append(e)
         finally:
-            q.put(_END)
+            put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+    finally:
+        stop.set()
     if err:
         raise err[0]
 
@@ -119,6 +137,35 @@ def _chunk_records(records, chunk, isecday_key):
         yield _stack_chunk(batch, isecday_key)
 
 
+_I16_FILL = -32768   # sentinel for non-finite points (NetCDF _FillValue)
+
+
+def _pack_i16(v):
+    """Scale-offset int16 packing of one field (the NetCDF/GRIB
+    convention): 2 bytes/value on the wire, reconstructed on device as
+    q * scale + offset.  Quantization error <= (max-min)/131068 — e.g.
+    0.12 mK for a 15 K SST range, far below fp32 flux sensitivity.
+
+    Non-finite points (land-mask fill NaNs) are carried through as the
+    _FillValue sentinel and reconstructed as NaN — and are excluded from
+    the min/max so one masked point cannot poison the field's scale."""
+    v = np.asarray(v, np.float32)
+    finite = np.isfinite(v)
+    if finite.all():
+        vmin, vmax = float(v.min()), float(v.max())
+    elif finite.any():
+        vmin = float(v[finite].min())
+        vmax = float(v[finite].max())
+    else:
+        vmin = vmax = 0.0
+    scale = max((vmax - vmin) / 65534.0, 1e-30)
+    with np.errstate(invalid="ignore"):
+        q = (np.round((v - vmin) / scale) - 32767.0)
+    q = np.where(finite, q, float(_I16_FILL)).astype(np.int16)
+    offset = np.float32(vmin + 32767.0 * scale)
+    return q, np.asarray([scale, offset], np.float32)
+
+
 def _default_collect(out):
     """Keep the flux headline fields; tolerate the fused backend's reduced
     output set (Tau=None)."""
@@ -163,6 +210,65 @@ class _InflightCollector:
         return self.results
 
 
+@functools.lru_cache(maxsize=64)
+def _make_chunk_step(cfg, backend, fused_block, fused_interpret):
+    """Jitted chunk scan, cached per static config so repeated
+    run_series_pipelined calls re-use the trace/compile (the step
+    functions must not be rebuilt per call — a fresh jit wrapper forgets
+    its cache)."""
+    from .api import run_series
+
+    kw = dict(backend=backend)
+    if backend == "fused":
+        kw.update(fused_block=fused_block, fused_interpret=fused_interpret)
+
+    @jax.jit
+    def chunk_step(fc, meta, isd, lon, st):
+        if meta is not None:     # i16 wire: reconstruct on device
+            import jax.numpy as jnp
+            fc = {k: jnp.where(v == _I16_FILL, jnp.nan,
+                               v.astype(jnp.float32) * meta[k][0]
+                               + meta[k][1])
+                  for k, v in fc.items()}
+        return run_series(cfg, fc, skin_state=st, isecday_utc=isd,
+                          lon=lon, **kw)
+    return chunk_step
+
+
+@functools.lru_cache(maxsize=64)
+def _make_record_step(cfg, backend, fused_block, fused_interpret):
+    """Jitted single-record step, cached per static config (see
+    :func:`_make_chunk_step`)."""
+    from .api import FluxOutput, flux_step
+
+    if backend == "fused":
+        from .kernels.fused import fused_flux_step
+
+        @jax.jit
+        def step(rec, isd, lon0, st):
+            import jax.numpy as jnp
+            lo = rec.get("lon", lon0)
+            if lo is None:
+                lo = jnp.zeros_like(rec["sst"])
+            (QL, QH, Tau_x, Tau_y, Evap, T_s), ns = fused_flux_step(
+                cfg, rec["sst"], rec["t_zt"], rec["hum_zt"], rec["U_zu"],
+                rec["V_zu"], rec["slp"], rec["rad_sw"], rec["rad_lw"],
+                lon=lo, isecday_utc=isd, skin_state=st, block=fused_block,
+                interpret=fused_interpret)
+            return FluxOutput(QL=QL, QH=QH, Tau=None, Tau_x=Tau_x,
+                              Tau_y=Tau_y, Evap=Evap, T_s=T_s, rho_a=None,
+                              diag=None), ns
+    else:
+        @jax.jit
+        def step(rec, isd, lon0, st):
+            return flux_step(
+                cfg, rec["sst"], rec["t_zt"], rec["hum_zt"], rec["U_zu"],
+                rec["V_zu"], rec["slp"],
+                rad_sw=rec.get("rad_sw"), rad_lw=rec.get("rad_lw"),
+                isecday_utc=isd, lon=rec.get("lon", lon0), skin_state=st)
+    return step
+
+
 def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
                          skin_state=None, sharding=None,
                          isecday_key: str = "isecday_utc",
@@ -172,7 +278,8 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
                          chunk: Optional[int] = None,
                          backend: str = "jit",
                          fused_block=(32, 256), fused_interpret=None,
-                         buffer_size: int = 2):
+                         buffer_size: int = 2,
+                         wire: str = "f32"):
     """Sequential time stepping with an overlapped host->device feed.
 
     Unlike :func:`aerobulk_tpu.run_series` (whole series resident on
@@ -197,9 +304,24 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
     :func:`aerobulk_tpu.sharding.sharded_run_series` (pallas_call does
     not auto-partition under jit).
 
+    ``wire="i16"`` (chunked mode only) ships each forcing field as
+    scale-offset-packed int16 — the NetCDF/GRIB packing convention — and
+    reconstructs to fp32 on device: half the host->device bytes, which
+    on a feed-bound link nearly doubles streamed throughput.  Per-field
+    quantization error is (max-min)/131068 (e.g. ~0.1 mK on SST), far
+    below fp32 flux sensitivity; packing runs on the prefetch thread.
+
     Returns ``(list of collected outputs, final SkinState)``.
     """
-    from .api import FluxOutput, flux_step, init_skin_state, run_series
+    from .api import init_skin_state
+
+    if wire not in ("f32", "i16"):
+        raise ValueError(f"run_series_pipelined: unknown wire format "
+                         f"{wire!r} (use 'f32' or 'i16')")
+    if wire != "f32" and chunk is None:
+        raise ValueError("run_series_pipelined: wire='i16' requires "
+                         "chunked mode (pass chunk=K) — per-record "
+                         "streaming always ships raw fp arrays")
 
     if sharding is not None and len(sharding.device_set) <= 1:
         sharding = None
@@ -222,60 +344,56 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
 
         def put_chunk(ch):
             isd = ch.pop(isecday_key, None)
-            dev = {k: jax.device_put(v, ch_shard) for k, v in ch.items()}
+            # per-record 'lon' is static geography: ship one copy (first
+            # record of the chunk), never packed — otherwise it would be
+            # silently stacked into the forcing dict and IGNORED by
+            # run_series (which takes lon as an argument)
+            lo = ch.pop("lon", None)
+            if lo is not None:
+                lo = jax.device_put(np.asarray(lo)[0], sharding)
+            if wire == "i16":
+                dev = {}
+                meta = {}
+                for k, v in ch.items():
+                    q, so = _pack_i16(v)
+                    dev[k] = jax.device_put(q, ch_shard)
+                    meta[k] = jax.device_put(so, rep_shard)
+                dev = {"data": dev, "meta": meta}
+            else:
+                dev = {"data": {k: jax.device_put(v, ch_shard)
+                                for k, v in ch.items()}, "meta": None}
+            dev["lon"] = lo
             if isd is not None:
                 dev[isecday_key] = jax.device_put(isd, rep_shard)
             return dev
 
-        run_kw = dict(backend=backend)
-        if backend == "fused":
-            run_kw.update(fused_block=fused_block,
-                          fused_interpret=fused_interpret)
-
-        @jax.jit
-        def chunk_step(fc, isd, st):
-            return run_series(cfg, fc, skin_state=st, isecday_utc=isd,
-                              lon=lon, **run_kw)
+        chunk_step = _make_chunk_step(
+            cfg, backend, tuple(fused_block),
+            fused_interpret if fused_interpret is None
+            else bool(fused_interpret))
 
         for ch in _prefetch_map(put_chunk,
                                 _chunk_records(records, chunk, isecday_key),
                                 buffer_size):
             isd = ch.pop(isecday_key, None)
+            lo = ch.pop("lon", None)
             if state is None:
-                state = init_skin_state(cfg, ch["sst"].shape[1:],
-                                        ch["sst"].dtype)
+                sst0 = ch["data"]["sst"]
+                dtype = (jax.numpy.float32 if wire == "i16"
+                         else sst0.dtype)
+                state = init_skin_state(cfg, sst0.shape[1:], dtype)
                 if sharding is not None:
                     state = jax.tree_util.tree_map(
                         lambda x: jax.device_put(x, sharding), state)
-            outs, state = chunk_step(ch, isd, state)
+            outs, state = chunk_step(ch["data"], ch["meta"], isd,
+                                     lo if lo is not None else lon, state)
             coll.push(outs)
         return coll.drain(), state
 
-    if backend == "fused":
-        from .kernels.fused import fused_flux_step
-
-        @jax.jit
-        def step(rec, isd, st):
-            import jax.numpy as jnp
-            lo = rec.get("lon", lon)
-            if lo is None:
-                lo = jnp.zeros_like(rec["sst"])
-            (QL, QH, Tau_x, Tau_y, Evap, T_s), ns = fused_flux_step(
-                cfg, rec["sst"], rec["t_zt"], rec["hum_zt"], rec["U_zu"],
-                rec["V_zu"], rec["slp"], rec["rad_sw"], rec["rad_lw"],
-                lon=lo, isecday_utc=isd, skin_state=st, block=fused_block,
-                interpret=fused_interpret)
-            return FluxOutput(QL=QL, QH=QH, Tau=None, Tau_x=Tau_x,
-                              Tau_y=Tau_y, Evap=Evap, T_s=T_s, rho_a=None,
-                              diag=None), ns
-    else:
-        @jax.jit
-        def step(rec, isd, st):
-            return flux_step(
-                cfg, rec["sst"], rec["t_zt"], rec["hum_zt"], rec["U_zu"],
-                rec["V_zu"], rec["slp"],
-                rad_sw=rec.get("rad_sw"), rad_lw=rec.get("rad_lw"),
-                isecday_utc=isd, lon=rec.get("lon", lon), skin_state=st)
+    step = _make_record_step(
+        cfg, backend, tuple(fused_block),
+        fused_interpret if fused_interpret is None
+        else bool(fused_interpret))
 
     for rec in prefetch_to_device(records, sharding=sharding,
                                   buffer_size=buffer_size):
@@ -285,6 +403,6 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
             if sharding is not None:
                 state = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, sharding), state)
-        out, state = step(rec, isd, state)
+        out, state = step(rec, isd, lon, state)
         coll.push(out)
     return coll.drain(), state

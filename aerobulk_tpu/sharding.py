@@ -171,10 +171,11 @@ def sharded_fused_flux_step(mesh: Mesh, cfg, sst, t_zt, hum_zt, U_zu, V_zu,
 
     ny, nx = sst.shape[-2], sst.shape[-1]
     py, px = _mesh_padding(mesh, ny, nx)
-    pad = lambda x: _pad_grid_axes(x, py, px)   # noqa: E731
-    sst, t_zt, hum_zt, U_zu, V_zu, slp, rad_sw, rad_lw, lon = map(
-        pad, (sst, t_zt, hum_zt, U_zu, V_zu, slp, rad_sw, rad_lw, lon))
-    skin_state = jax.tree_util.tree_map(pad, skin_state)
+    if py or px:
+        pad = lambda x: _pad_grid_axes(x, py, px)   # noqa: E731
+        sst, t_zt, hum_zt, U_zu, V_zu, slp, rad_sw, rad_lw, lon = map(
+            pad, (sst, t_zt, hum_zt, U_zu, V_zu, slp, rad_sw, rad_lw, lon))
+        skin_state = jax.tree_util.tree_map(pad, skin_state)
     isd = jax.numpy.broadcast_to(
         jax.numpy.asarray(isecday_utc, sst.dtype), sst.shape)
 
@@ -198,9 +199,12 @@ def sharded_fused_flux_step(mesh: Mesh, cfg, sst, t_zt, hum_zt, U_zu, V_zu,
     flat = local_step(sst, t_zt, hum_zt, U_zu, V_zu, slp, rad_sw, rad_lw,
                       lon, isd, *skin_state)
     from .skin import SkinState
-    unpad = lambda x: x[..., :ny, :nx]   # noqa: E731
-    return (tuple(unpad(x) for x in flat[:6]),
-            SkinState(*(unpad(x) for x in flat[6:])))
+    if py or px:
+        # (the slices are eager device ops — skipped entirely on evenly
+        # divisible grids, where they would be no-op dispatches)
+        unpad = lambda x: x[..., :ny, :nx]   # noqa: E731
+        flat = tuple(unpad(x) for x in flat)
+    return tuple(flat[:6]), SkinState(*flat[6:])
 
 
 def sharded_run_series(mesh: Mesh, cfg, forcing: dict, isecday_utc=None,

@@ -173,6 +173,75 @@ def test_chunked_i16_wire_close_to_exact():
 
 
 @pytest.mark.slow
+def test_pack_i16_nan_fill_and_roundtrip():
+    """A NaN land-mask point must survive as NaN without poisoning the
+    field's scale; finite points round-trip within the quantization
+    bound."""
+    from aerobulk_tpu.pipeline import _I16_FILL, _pack_i16
+
+    v = np.array([290.0, np.nan, 300.0, 295.5], np.float32)
+    q, so = _pack_i16(v)
+    scale, offset = float(so[0]), float(so[1])
+    assert q[1] == _I16_FILL
+    rec = q.astype(np.float64) * scale + offset
+    np.testing.assert_allclose(rec[[0, 2, 3]], v[[0, 2, 3]],
+                               atol=(300.0 - 290.0) / 65534.0)
+    # all-NaN field: well-defined sentinel output, finite scale
+    q2, so2 = _pack_i16(np.full(3, np.nan, np.float32))
+    assert (q2 == _I16_FILL).all() and np.isfinite(so2).all()
+
+
+def test_chunked_honors_per_record_lon():
+    """Records carrying a 'lon' field must anchor the warm-layer solar
+    clock in chunked mode exactly as in per-record mode (it must not be
+    silently stacked into the forcing and dropped)."""
+    nt, npts = 4, 3
+    lon = np.array([10.0, 150.0, 250.0])
+
+    def recs(with_lon=True):
+        # strong sun around local noon so the warm layer actually builds
+        # and its solar clock (hence lon) matters
+        for jt in range(nt):
+            r = {
+                "sst": np.full(npts, 300.0),
+                "t_zt": np.full(npts, 299.0),
+                "hum_zt": np.full(npts, 0.016),
+                "U_zu": np.full(npts, 3.0),
+                "V_zu": np.zeros(npts),
+                "slp": np.full(npts, 101000.0),
+                "rad_sw": np.full(npts, 850.0),
+                "rad_lw": np.full(npts, 420.0),
+                "isecday_utc": np.int32((10 + jt) * 3600),
+            }
+            if with_lon:
+                r["lon"] = lon
+            yield r
+
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+    per_rec, st_a = run_series_pipelined(cfg, recs(),
+                                         collect=lambda o: {"QL": o.QL})
+    chunked, st_b = run_series_pipelined(cfg, recs(), chunk=2,
+                                         collect=lambda o: {"QL": o.QL})
+    QL_a = np.stack([r["QL"] for r in per_rec])
+    QL_b = np.concatenate([r["QL"] for r in chunked])
+    np.testing.assert_allclose(QL_b, QL_a, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_b.dT_wl),
+                               np.asarray(st_a.dT_wl), rtol=1e-12)
+    # and it actually differs from the lon=0 default (the bug's symptom)
+    _, st_z = run_series_pipelined(cfg, recs(with_lon=False), chunk=2)
+    assert not np.allclose(np.asarray(st_b.dT_wl),
+                           np.asarray(st_z.dT_wl), rtol=1e-12)
+
+
+def test_wire_requires_chunked_mode():
+    import pytest
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+    with pytest.raises(ValueError, match="chunk"):
+        run_series_pipelined(cfg, _records(2, 3), wire="i16")
+    with pytest.raises(ValueError, match="wire"):
+        run_series_pipelined(cfg, _records(2, 3), chunk=2, wire="bf16")
+
+
 def test_collect_selection_materialized_deferred():
     """collect may return jax arrays; the pipeline materializes them to
     numpy after `inflight` newer records, in order."""

@@ -37,6 +37,9 @@ MODES = [
     # end-to-end streamed production run: host->device feed of every
     # record + async output collection (VERDICT r3 item 1c)
     ("streamed", ["--streamed"]),
+    # same with the int16 scale-offset wire format (half the H2D bytes —
+    # the lever on a feed-bound link)
+    ("streamed_i16", ["--streamed", "--wire-i16"]),
 ]
 
 
