@@ -175,6 +175,48 @@ def _default_collect(out):
     return {"QL": out.QL, "QH": out.QH, "Tau": tau, "Evap": out.Evap}
 
 
+@functools.lru_cache(maxsize=1)
+def _device_pack_i16_fn():
+    """One jitted tree-packer for collected outputs: every float leaf
+    becomes (int16 quantized, fp32 [scale, offset]) — the D2H mirror of
+    :func:`_pack_i16`, computed on device in a single dispatch."""
+    import jax.numpy as jnp
+
+    def pack_leaf(x):
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        finite = jnp.isfinite(x)
+        safe = jnp.where(finite, x, 0.0)
+        has = jnp.any(finite)
+        vmin = jnp.where(has, jnp.min(jnp.where(finite, x, jnp.inf)), 0.0)
+        vmax = jnp.where(has, jnp.max(jnp.where(finite, x, -jnp.inf)), 0.0)
+        scale = jnp.maximum((vmax - vmin) / 65534.0, 1e-30)
+        q = jnp.where(finite,
+                      jnp.round((safe - vmin) / scale) - 32767.0,
+                      float(_I16_FILL)).astype(jnp.int16)
+        so = jnp.stack([scale, vmin + 32767.0 * scale]).astype(jnp.float32)
+        return {"_i16q": q, "_i16so": so}
+
+    return jax.jit(lambda tree: jax.tree_util.tree_map(pack_leaf, tree))
+
+
+def _unpack_i16_host(tree):
+    """Reconstruct fp32 numpy fields from materialized packed leaves."""
+    if isinstance(tree, dict):
+        if set(tree) == {"_i16q", "_i16so"}:
+            q = np.asarray(tree["_i16q"])
+            scale, offset = np.asarray(tree["_i16so"], np.float64)
+            x = q.astype(np.float32) * np.float32(scale) \
+                + np.float32(offset)
+            return np.where(q == _I16_FILL, np.float32(np.nan), x)
+        return {k: _unpack_i16_host(v) for k, v in tree.items()}
+    if isinstance(tree, tuple) and hasattr(tree, "_fields"):
+        return type(tree)(*(_unpack_i16_host(v) for v in tree))
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_unpack_i16_host(v) for v in tree)
+    return tree
+
+
 class _InflightCollector:
     """Deferred, overlapped output collection.
 
@@ -185,18 +227,26 @@ class _InflightCollector:
     read-back of the record it just produced (VERDICT r3 item 1a).
     """
 
-    def __init__(self, collect: Optional[Callable], inflight: int):
+    def __init__(self, collect: Optional[Callable], inflight: int,
+                 wire: str = "f32"):
         self.collect = _default_collect if collect is None else collect
         self.inflight = max(0, int(inflight))
+        self.wire = wire
         self.pending: "collections.deque" = collections.deque()
         self.results = []
 
-    @staticmethod
-    def _materialize(sel):
-        return jax.tree_util.tree_map(np.asarray, sel)
+    def _materialize(self, sel):
+        sel = jax.tree_util.tree_map(np.asarray, sel)
+        if self.wire == "i16":
+            sel = _unpack_i16_host(sel)
+        return sel
 
     def push(self, out):
         sel = self.collect(out)
+        if self.wire == "i16":
+            # one extra device dispatch quantizes the whole selection to
+            # int16 before the async D2H copy — half the read-back bytes
+            sel = _device_pack_i16_fn()(sel)
         for leaf in jax.tree_util.tree_leaves(sel):
             if isinstance(leaf, jax.Array):
                 leaf.copy_to_host_async()
@@ -279,7 +329,8 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
                          backend: str = "jit",
                          fused_block=(32, 256), fused_interpret=None,
                          buffer_size: int = 2,
-                         wire: str = "f32"):
+                         wire: str = "f32",
+                         collect_wire: str = "f32"):
     """Sequential time stepping with an overlapped host->device feed.
 
     Unlike :func:`aerobulk_tpu.run_series` (whole series resident on
@@ -310,14 +361,19 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
     on a feed-bound link nearly doubles streamed throughput.  Per-field
     quantization error is (max-min)/131068 (e.g. ~0.1 mK on SST), far
     below fp32 flux sensitivity; packing runs on the prefetch thread.
+    ``collect_wire="i16"`` is the D2H mirror: collected float fields are
+    quantized on device (one extra dispatch) and reconstructed to fp32
+    numpy on the host — half the read-back bytes, same packing
+    convention (archives routinely store fluxes GRIB/NetCDF-packed).
 
     Returns ``(list of collected outputs, final SkinState)``.
     """
     from .api import init_skin_state
 
-    if wire not in ("f32", "i16"):
-        raise ValueError(f"run_series_pipelined: unknown wire format "
-                         f"{wire!r} (use 'f32' or 'i16')")
+    for name, w in (("wire", wire), ("collect_wire", collect_wire)):
+        if w not in ("f32", "i16"):
+            raise ValueError(f"run_series_pipelined: unknown {name} "
+                             f"format {w!r} (use 'f32' or 'i16')")
     if wire != "f32" and chunk is None:
         raise ValueError("run_series_pipelined: wire='i16' requires "
                          "chunked mode (pass chunk=K) — per-record "
@@ -326,7 +382,7 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
     if sharding is not None and len(sharding.device_set) <= 1:
         sharding = None
 
-    coll = _InflightCollector(collect, inflight)
+    coll = _InflightCollector(collect, inflight, wire=collect_wire)
     state = skin_state
 
     if chunk is not None:

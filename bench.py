@@ -676,6 +676,7 @@ def main_streamed():
     chunk = _arg_int("--chunk", 8)
     nrec = max(chunk, nrec - nrec % chunk)   # whole chunks only
     wire = "i16" if "--wire-i16" in sys.argv else "f32"
+    collect_wire = "i16" if "--collect-i16" in sys.argv else "f32"
     dtype = jnp.float32
     shape = (NY, NX)
     cfg = AeroBulkConfig(algo="coare3p6", zt=2.0, zu=10.0, niter=niter,
@@ -705,7 +706,7 @@ def main_streamed():
             yield rec
 
     run_kw = dict(chunk=chunk, backend=backend, lon=lon, inflight=2,
-                  wire=wire)
+                  wire=wire, collect_wire=collect_wire)
 
     # warmup: compiles the chunked fused scan (+ materializes collection)
     _, state_w = run_series_pipelined(cfg, records(chunk), **run_kw)
@@ -747,8 +748,9 @@ def main_streamed():
 
     h2d, d2h = _tunnel_bandwidth()
     in_width = 2 if wire == "i16" else 4
-    bytes_in = 8 * in_width * NY * NX   # 8 forcing fields per record
-    bytes_out = 4 * 4 * NY * NX         # QL/QH/Tau/Evap collected
+    out_width = 2 if collect_wire == "i16" else 4
+    bytes_in = 8 * in_width * NY * NX       # 8 forcing fields per record
+    bytes_out = 4 * out_width * NY * NX     # QL/QH/Tau/Evap collected
     # best case any pipeline could do on this link: compute and the two
     # transfer directions fully overlapped, each record still must move
     transfer_bound = 1.0 / (bytes_in / h2d + bytes_out / d2h)  # rec/s
@@ -756,9 +758,10 @@ def main_streamed():
 
     record = {
         "metric": "coare3p6_skin_0p25deg_streamed_points_per_s"
-                  + ("_i16wire" if wire == "i16" else ""),
+                  + ("_i16wire" if wire == "i16" else "")
+                  + ("_i16out" if collect_wire == "i16" else ""),
         "unit": "points/s", "niter": niter, "nrec": nrec, "chunk": chunk,
-        "backend": backend, "wire": wire,
+        "backend": backend, "wire": wire, "collect_wire": collect_wire,
         "value": round(streamed_pts, 1),
         "vs_baseline": round(streamed_pts / BASELINE_CPU_POINTS_S, 2),
         "streamed_wall_s": round(streamed_s, 3),

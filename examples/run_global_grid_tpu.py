@@ -44,6 +44,7 @@ NY, NX = _arg("--ny", 721), _arg("--nx", 1440)   # 0.25-degree global
 NT = _arg("--nt", 24)                            # one day, hourly
 CHUNK = _arg("--chunk", 8)
 OUT = _arg("--out", "global_day_fluxes.nc")
+WIRE = _arg("--wire", "f32")                     # 'i16' halves feed bytes
 
 
 def synthetic_day(nt):
@@ -82,7 +83,7 @@ def main():
                                     dtype=np.float32), (NY, NX)))
 
     kw = dict(chunk=CHUNK, backend="fused" if on_tpu else "jit", lon=lon,
-              inflight=2,
+              inflight=2, wire=WIRE,
               collect=lambda out: {"QL": out.QL, "QH": out.QH,
                                    "Tau_x": out.Tau_x, "Evap": out.Evap,
                                    "T_s": out.T_s})

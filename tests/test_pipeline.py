@@ -233,6 +233,24 @@ def test_chunked_honors_per_record_lon():
                            np.asarray(st_z.dT_wl), rtol=1e-12)
 
 
+def test_collect_wire_i16_close_to_exact():
+    """collect_wire='i16' (packed D2H read-back) reconstructs the
+    collected fluxes within quantization tolerance, NaNs preserved."""
+    nt, npts = 4, 8
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+    exact, _ = run_series_pipelined(cfg, _records(nt, npts), chunk=2)
+    packed, _ = run_series_pipelined(cfg, _records(nt, npts), chunk=2,
+                                     collect_wire="i16")
+    for a, b in zip(packed, exact):
+        assert a["QL"].dtype == np.float32
+        span = float(b["QL"].max() - b["QL"].min()) + 1e-6
+        np.testing.assert_allclose(a["QL"], b["QL"],
+                                   atol=max(span / 6.5e4, 1e-4))
+        span_t = float(b["Tau"].max() - b["Tau"].min()) + 1e-9
+        np.testing.assert_allclose(a["Tau"], b["Tau"],
+                                   atol=max(span_t / 6.5e4, 1e-8))
+
+
 def test_wire_requires_chunked_mode():
     import pytest
     cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
@@ -255,6 +273,32 @@ def test_collect_selection_materialized_deferred():
     outs, _ = _scan_reference(cfg, nt, npts)
     np.testing.assert_allclose(np.stack([r["ts"] for r in results]),
                                np.asarray(outs.T_s), rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_chunked_sharded_matches_unsharded():
+    """Chunked streaming onto an 8-device mesh (jit backend): chunks are
+    device_put straight into the sharded layout and the scan partitions
+    under jit — results equal the single-device stream."""
+    from aerobulk_tpu.sharding import grid_sharding, make_grid_mesh
+
+    nt, ny, nx = 4, 4, 8
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+
+    def recs2d(nt):
+        for r in _records(nt, ny * nx):
+            yield {k: (v.reshape(ny, nx) if np.ndim(v) else v)
+                   for k, v in r.items()}
+
+    ref, st_ref = run_series_pipelined(cfg, recs2d(nt), chunk=2)
+
+    mesh = make_grid_mesh(shape=(2, 4))
+    sh = grid_sharding(mesh)
+    out, st = run_series_pipelined(cfg, recs2d(nt), chunk=2, sharding=sh)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(a["QL"], b["QL"], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.dT_wl),
+                               np.asarray(st_ref.dT_wl), rtol=1e-12)
 
 
 def test_producer_exception_propagates():

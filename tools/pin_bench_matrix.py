@@ -40,6 +40,11 @@ MODES = [
     # same with the int16 scale-offset wire format (half the H2D bytes —
     # the lever on a feed-bound link)
     ("streamed_i16", ["--streamed", "--wire-i16"]),
+    # NB --collect-i16 (int16 read-back, bench metric *_i16out) measured
+    # NEGATIVE on this tunnel: 9.4e5 pts/s vs 1.45e6 for i16-in-only —
+    # the 8.3 MB/record D2H saving (~0.18 s at link rate) is outweighed
+    # by the extra per-chunk packing dispatch + small-array RPCs
+    # (docs/SCALING.md "Streamed").  Not pinned as a matrix row.
 ]
 
 
