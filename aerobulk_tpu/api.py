@@ -579,7 +579,10 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
 
     ``batch_records=True`` (stateless configs only) computes every record
     in one vectorized call instead of scanning — the fast way to run
-    station/buoy series with a no-skin algorithm.
+    station/buoy series with a no-skin algorithm.  Combine with
+    ``backend="fused"`` to solve the whole batch in one stateless Pallas
+    kernel launch (``kernels.fused.fused_bulk_step``; reduced output
+    set like the skin-path fused backend).
     """
     names = ["sst", "t_zt", "hum_zt", "U_zu", "V_zu", "slp"]
     opt = [n for n in ("rad_sw", "rad_lw") if n in forcing]
@@ -598,6 +601,18 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
             raise ValueError("run_series(batch_records=True) requires a "
                              "stateless (use_skin=False) config — skin "
                              "state couples consecutive records")
+        if backend == "fused":
+            # stateless fused Pallas kernel: the whole (nt, ...) batch is
+            # flattened onto VPU tiles and solved in one kernel launch
+            # (kernels/fused.py fused_bulk_step)
+            from .kernels.fused import fused_bulk_step
+            QL, QH, Tau_x, Tau_y, Evap, T_s = fused_bulk_step(
+                cfg, *(forcing[n] for n in names), block=fused_block,
+                interpret=fused_interpret)
+            out = FluxOutput(QL=QL, QH=QH, Tau=None, Tau_x=Tau_x,
+                             Tau_y=Tau_y, Evap=Evap, T_s=T_s,
+                             rho_a=None, diag=None)
+            return out, skin_state
         out, _ = flux_step(
             cfg, *(forcing[n] for n in names),
             **{n: forcing[n] for n in opt},

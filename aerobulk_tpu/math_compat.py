@@ -22,6 +22,12 @@ import jax.numpy as jnp
 _PALLAS_SAFE = False
 
 
+def is_pallas_safe() -> bool:
+    """True while tracing inside :func:`pallas_safe_math` — lets other
+    modules swap gather/table formulations for Mosaic-lowerable ones."""
+    return _PALLAS_SAFE
+
+
 @contextlib.contextmanager
 def pallas_safe_math():
     """Trace-time switch: route transcendentals through Mosaic-lowerable

@@ -444,13 +444,29 @@ def z0tq_lkb(iflag, Rer, z0):
     saturates at 0.05 m exactly as the reference's -999 sentinel does
     after its |.| clamp.
     """
-    xa = jnp.asarray(_LKB_XA[iflag - 1], Rer.dtype)
-    xb = jnp.asarray(_LKB_XB[iflag - 1], Rer.dtype)
-    edges = jnp.asarray(_LKB_XRAN, Rer.dtype)
-    # interval index: count of edges[0..7] strictly below Rer -> 1..8
-    jm = jnp.searchsorted(edges[:-1], Rer, side="left")
-    jm_c = jnp.clip(jm - 1, 0, 7)
-    val = jnp.take(xa, jm_c) * Rer ** jnp.take(xb, jm_c) * z0 / Rer
+    from .math_compat import is_pallas_safe
+
+    xa_t, xb_t = _LKB_XA[iflag - 1], _LKB_XB[iflag - 1]
+    if is_pallas_safe():
+        # Mosaic has no gather lowering and Pallas kernels cannot capture
+        # table constants — select the bin coefficients with a chain of
+        # scalar-constant wheres instead (same (e_j, e_{j+1}] bins as the
+        # searchsorted below, identical arithmetic afterwards)
+        xa_s = jnp.full_like(Rer, xa_t[0])
+        xb_s = jnp.full_like(Rer, xb_t[0])
+        for j in range(8):
+            m = (Rer > _LKB_XRAN[j]) & (Rer <= _LKB_XRAN[j + 1])
+            xa_s = jnp.where(m, xa_t[j], xa_s)
+            xb_s = jnp.where(m, xb_t[j], xb_s)
+        val = xa_s * Rer ** xb_s * z0 / Rer
+    else:
+        xa = jnp.asarray(xa_t, Rer.dtype)
+        xb = jnp.asarray(xb_t, Rer.dtype)
+        edges = jnp.asarray(_LKB_XRAN, Rer.dtype)
+        # interval index: count of edges[0..7] strictly below Rer -> 1..8
+        jm = jnp.searchsorted(edges[:-1], Rer, side="left")
+        jm_c = jnp.clip(jm - 1, 0, 7)
+        val = jnp.take(xa, jm_c) * Rer ** jnp.take(xb, jm_c) * z0 / Rer
     in_range = (Rer > 0.0) & (Rer < 1000.0)
     val = jnp.where(in_range, val, -999.0)
     return jnp.minimum(jnp.maximum(jnp.abs(val), 1.0e-9), 0.05)

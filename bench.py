@@ -358,16 +358,25 @@ def main_all():
 
     # Stateless algorithms -> the production path is batch_records=True:
     # the whole record batch is one vectorized call, not an nt-step scan
-    # (run_series docstring).
-    def stateless_batched(name, algo, nt, shape, inner=8):
+    # (run_series docstring).  On TPU the batch is solved by the
+    # stateless fused Pallas kernel (fused_bulk_step): ~2x the jit batch
+    # on the COARE3.0 1-degree workload (the jit graph splits into
+    # fusion clusters with HBM round-trips; measured 1.07e9 vs 5.5e8).
+    def stateless_batched(name, algo, nt, shape, inner=8,
+                          use_fused=None):
         import jax
         from aerobulk_tpu.api import run_series
 
+        if use_fused is None:
+            use_fused = fused
         f2 = _mk_inputs((nt,) + shape, dtype, seed=7)
         forcing = {k: f2[n] for k, n in
                    (("sst", "sst"), ("t_zt", "t"), ("hum_zt", "q"),
                     ("U_zu", "u"), ("V_zu", "v"), ("slp", "slp"))}
         cfg = AeroBulkConfig(algo=algo, niter=NITER, use_skin=False)
+        kw = dict(batch_records=True)
+        if use_fused:
+            kw.update(backend="fused", fused_interpret=False)
 
         @jax.jit
         def run(salt, carry):
@@ -377,7 +386,7 @@ def main_all():
             def body(c, _):
                 fc = dict(forcing)
                 fc["sst"] = fc["sst"] + salt + c * 1e-30
-                out, _ = run_series(cfg, fc, batch_records=True)
+                out, _ = run_series(cfg, fc, **kw)
                 return (out.QL.mean() + out.QH.mean()
                         + out.Tau_x.mean() + c * 1e-30), None
             c, _ = jax.lax.scan(body, carry, None, length=inner)
@@ -393,17 +402,41 @@ def main_all():
 
         dt_s = _slope_time(chained) / inner
         pts = nt * shape[0] * shape[1] / dt_s
-        print(json.dumps({"metric": name, "value": round(pts, 1),
-                          "unit": "points/s",
-                          "vs_baseline": round(
-                              pts / BASELINE_CPU_POINTS_S, 2)}))
+        rec = {"metric": name, "value": round(pts, 1),
+               "unit": "points/s", "backend": "fused" if use_fused
+               else "jit",
+               "vs_baseline": round(pts / BASELINE_CPU_POINTS_S, 2)}
+        if use_fused and "--no-check" not in sys.argv:
+            # on-device fused-vs-jit parity for the stateless batch
+            @jax.jit
+            def run_jit_batch():
+                out, _ = run_series(cfg, forcing, batch_records=True)
+                return (out.QL, out.QH, out.Tau_x, out.Tau_y, out.Evap,
+                        out.T_s)
+
+            @jax.jit
+            def run_fused_batch():
+                out, _ = run_series(cfg, forcing, **kw)
+                return (out.QL, out.QH, out.Tau_x, out.Tau_y, out.Evap,
+                        out.T_s)
+
+            rec.update(_parity_fields(
+                ("QL", "QH", "Tau_x", "Tau_y", "Evap", "T_s"),
+                run_fused_batch(), run_jit_batch()))
+        print(json.dumps(rec))
 
     # 1: NCAR small-grid buoy series.  inner targets ~100 ms per dispatch:
     # a single ~2M-point solve is a fraction of a ms of device time, far
     # below the ~30 ms tunnel dispatch noise — the slope cannot resolve it.
+    # Stays on the jit batch path: NCAR's 1151 ops/pt at the measured
+    # 2e9 pts/s already implies 2.3e12 ops/s — the same efficiency class
+    # the fused kernels reach, so there is nothing for a Pallas kernel
+    # to recover (and its 128-long fused scan compile is prohibitive).
     stateless_batched("ncar_small_grid_points_per_s", "ncar", 512, (32, 128),
-                      inner=128)
-    # 2: COARE3.0 bulk-SST, 1-degree global, no radiation
+                      inner=128, use_fused=False)
+    # 2: COARE3.0 bulk-SST, 1-degree global, no radiation — the fused
+    # stateless kernel is ~2x the jit batch here (1.07e9 vs 5.5e8:
+    # 2050 ops/pt x 5.5e8 was only ~1.0e12 ops/s, half the VPU class)
     stateless_batched("coare3p0_bulk_1deg_points_per_s", "coare3p0",
                       32, (181, 360), inner=32)
     # 3: headline — COARE3.6 + skin, 0.25-degree global

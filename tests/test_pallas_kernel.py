@@ -108,6 +108,61 @@ def test_run_series_fused_backend_matches_jit():
                                rtol=1e-6, atol=1e-9)
 
 
+def test_fused_bulk_step_matches_jit_path():
+    """Stateless fused kernel == flux_step for every no-skin-capable
+    algorithm, on a deliberately awkward 3-D shape (exercises the
+    flatten/pad/restore path)."""
+    shape = (3, 5, 7)
+    rng = np.random.default_rng(41)
+    mk = lambda a: jnp.asarray(a)
+    sst = mk(285.0 + 15.0 * rng.random(shape))
+    t = mk(np.asarray(sst) + rng.normal(0, 2, shape))
+    q = mk(0.004 + 0.012 * rng.random(shape))
+    u = mk(rng.normal(0, 6, shape))
+    v = mk(rng.normal(0, 6, shape))
+    slp = mk(98000 + 4000 * rng.random(shape))
+
+    from aerobulk_tpu.kernels import fused_bulk_step
+
+    for algo in ("ncar", "coare3p0", "coare3p6", "ecmwf", "andreas"):
+        cfg = AeroBulkConfig(algo=algo, niter=4, use_skin=False)
+        out, _ = flux_step(cfg, sst, t, q, u, v, slp)
+        ref = (out.QL, out.QH, out.Tau_x, out.Tau_y, out.Evap, out.T_s)
+        got = fused_bulk_step(cfg, sst, t, q, u, v, slp, block=(8, 128),
+                              interpret=True)
+        for name, a, b in zip(("QL", "QH", "Tx", "Ty", "E", "Ts"),
+                              got, ref):
+            assert a.shape == shape, (algo, name)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-7, atol=1e-9,
+                err_msg=f"{algo}:{name}")
+
+
+def test_run_series_batch_records_fused_backend():
+    """run_series(batch_records=True, backend='fused') == the jit batch
+    path (interpret mode on CPU)."""
+    from aerobulk_tpu.api import run_series
+
+    nt, npts = 3, 11
+    rng = np.random.default_rng(43)
+    forcing = {
+        "sst": jnp.asarray(285.0 + 15.0 * rng.random((nt, npts))),
+        "t_zt": jnp.asarray(284.0 + 16.0 * rng.random((nt, npts))),
+        "hum_zt": jnp.asarray(0.004 + 0.012 * rng.random((nt, npts))),
+        "U_zu": jnp.asarray(rng.normal(0, 6, (nt, npts))),
+        "V_zu": jnp.asarray(rng.normal(0, 6, (nt, npts))),
+        "slp": jnp.asarray(98000 + 4000 * rng.random((nt, npts))),
+    }
+    cfg = AeroBulkConfig(algo="coare3p0", niter=5, use_skin=False)
+    ref, _ = run_series(cfg, forcing, batch_records=True)
+    got, _ = run_series(cfg, forcing, batch_records=True, backend="fused",
+                        fused_block=(8, 128), fused_interpret=True)
+    np.testing.assert_allclose(np.asarray(got.QL), np.asarray(ref.QL),
+                               rtol=5e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.T_s), np.asarray(ref.T_s),
+                               rtol=5e-7, atol=1e-9)
+
+
 def test_run_series_fused_backend_rejects_noskin():
     from aerobulk_tpu.api import run_series
     import pytest
