@@ -613,6 +613,8 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
                              Tau_y=Tau_y, Evap=Evap, T_s=T_s,
                              rho_a=None, diag=None)
             return out, skin_state
+        if backend != "jit":
+            raise ValueError(f"run_series: unknown backend {backend!r}")
         out, _ = flux_step(
             cfg, *(forcing[n] for n in names),
             **{n: forcing[n] for n in opt},

@@ -451,7 +451,12 @@ def fused_bulk_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu,
     if interpret is None:
         interpret = not pallas_available()
 
-    shape = jnp.shape(sst)
+    # accept broadcastable inputs / mixed dtypes exactly like the jit
+    # path (e.g. a scalar slp): broadcast + promote before tiling
+    fields = (sst, t_zt, hum_zt, U_zu, V_zu, slp)
+    dtype = jnp.result_type(*fields)
+    fields = jnp.broadcast_arrays(*(jnp.asarray(x, dtype) for x in fields))
+    shape = fields[0].shape
     n = 1
     for s in shape:
         n *= s
@@ -464,6 +469,6 @@ def fused_bulk_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu,
         x = jnp.ravel(x)
         return jnp.pad(x, (0, n_pad - n), mode="edge").reshape(rows, bx)
 
-    args = tuple(fold(x) for x in (sst, t_zt, hum_zt, U_zu, V_zu, slp))
+    args = tuple(fold(x) for x in fields)
     outs = _fused_bulk(cfg, (by, bx), bool(interpret), args)
     return tuple(jnp.ravel(o)[:n].reshape(shape) for o in outs)

@@ -382,6 +382,13 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
     if sharding is not None and len(sharding.device_set) <= 1:
         sharding = None
 
+    # lon is static geography: commit it to the device ONCE up front —
+    # as a plain numpy jit argument it would be re-transferred on every
+    # step/chunk call (~4 MB per call on the 0.25-degree grid)
+    if lon is not None and not isinstance(lon, jax.Array):
+        lon = jax.device_put(np.asarray(lon),
+                             sharding if sharding is not None else None)
+
     coll = _InflightCollector(collect, inflight, wire=collect_wire)
     state = skin_state
 
@@ -398,15 +405,20 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
             ch_shard = NamedSharding(sharding.mesh, P(None, *sharding.spec))
             rep_shard = NamedSharding(sharding.mesh, P())
 
+        lon_cell = [None]   # per-record 'lon' shipped once (static field)
+
         def put_chunk(ch):
             isd = ch.pop(isecday_key, None)
-            # per-record 'lon' is static geography: ship one copy (first
-            # record of the chunk), never packed — otherwise it would be
+            # per-record 'lon' is static geography: ship ONE copy (from
+            # the first chunk only), never packed — otherwise it would be
             # silently stacked into the forcing dict and IGNORED by
             # run_series (which takes lon as an argument)
             lo = ch.pop("lon", None)
             if lo is not None:
-                lo = jax.device_put(np.asarray(lo)[0], sharding)
+                if lon_cell[0] is None:
+                    lon_cell[0] = jax.device_put(np.asarray(lo)[0],
+                                                 sharding)
+                lo = lon_cell[0]
             if wire == "i16":
                 dev = {}
                 meta = {}
@@ -451,7 +463,20 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
         fused_interpret if fused_interpret is None
         else bool(fused_interpret))
 
-    for rec in prefetch_to_device(records, sharding=sharding,
+    # per-record 'lon' is static geography: strip it on the producer side
+    # and commit one device copy instead of re-uploading it every record
+    lon_cell = [None]
+
+    def strip_lon(recs):
+        for r in recs:
+            if "lon" in r:
+                r = dict(r)
+                lo = r.pop("lon")
+                if lon_cell[0] is None:
+                    lon_cell[0] = jax.device_put(np.asarray(lo), sharding)
+            yield r
+
+    for rec in prefetch_to_device(strip_lon(records), sharding=sharding,
                                   buffer_size=buffer_size):
         isd = rec.pop(isecday_key, None)
         if state is None:
@@ -459,6 +484,8 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
             if sharding is not None:
                 state = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, sharding), state)
-        out, state = step(rec, isd, lon, state)
+        out, state = step(
+            rec, isd, lon_cell[0] if lon_cell[0] is not None else lon,
+            state)
         coll.push(out)
     return coll.drain(), state

@@ -138,6 +138,42 @@ def test_fused_bulk_step_matches_jit_path():
                 err_msg=f"{algo}:{name}")
 
 
+def test_fused_bulk_step_broadcasts_like_jit():
+    """Broadcastable inputs (scalar slp, fp32/fp64 mix) must work exactly
+    like the jit path instead of crashing in the tile fold."""
+    from aerobulk_tpu.kernels import fused_bulk_step
+
+    npts = 17
+    rng = np.random.default_rng(3)
+    sst = jnp.asarray(290.0 + 5.0 * rng.random(npts))
+    t = sst - 1.0
+    q = jnp.asarray(0.01, jnp.float32)            # scalar, narrower dtype
+    u = jnp.asarray(rng.normal(4, 2, npts))
+    v = jnp.asarray(0.0)                          # scalar
+    slp = jnp.asarray(101000.0)                   # scalar
+    cfg = AeroBulkConfig(algo="ncar", niter=4, use_skin=False)
+
+    out, _ = flux_step(cfg, sst, t, jnp.broadcast_to(q, (npts,)),
+                       u, jnp.broadcast_to(v, (npts,)),
+                       jnp.broadcast_to(slp, (npts,)))
+    got = fused_bulk_step(cfg, sst, t, q, u, v, slp, block=(8, 128),
+                          interpret=True)
+    assert got[0].shape == (npts,)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(out.QL),
+                               rtol=5e-7, atol=1e-9)
+
+
+def test_batch_records_unknown_backend_raises():
+    from aerobulk_tpu.api import run_series
+    cfg = AeroBulkConfig(algo="ncar", niter=2, use_skin=False)
+    z = jnp.full((1, 4), 290.0)
+    forcing = {"sst": z, "t_zt": z - 1, "hum_zt": jnp.full((1, 4), 0.01),
+               "U_zu": jnp.full((1, 4), 5.0), "V_zu": jnp.zeros((1, 4)),
+               "slp": jnp.full((1, 4), 101000.0)}
+    with pytest.raises(ValueError, match="unknown backend"):
+        run_series(cfg, forcing, batch_records=True, backend="fuesd")
+
+
 def test_run_series_batch_records_fused_backend():
     """run_series(batch_records=True, backend='fused') == the jit batch
     path (interpret mode on CPU)."""
