@@ -108,6 +108,7 @@ def test_run_series_fused_backend_matches_jit():
                                rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_fused_bulk_step_matches_jit_path():
     """Stateless fused kernel == flux_step for every no-skin-capable
     algorithm, on a deliberately awkward 3-D shape (exercises the

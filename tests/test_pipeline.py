@@ -140,6 +140,7 @@ def test_per_record_fused_backend():
         rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_chunked_i16_wire_close_to_exact():
     """wire='i16' (scale-offset packed feed, half the H2D bytes) must
     reproduce the exact-fp64 stream within quantization tolerance."""
@@ -172,7 +173,6 @@ def test_chunked_i16_wire_close_to_exact():
                                np.asarray(st_exact.dT_wl), atol=5e-3)
 
 
-@pytest.mark.slow
 def test_pack_i16_nan_fill_and_roundtrip():
     """A NaN land-mask point must survive as NaN without poisoning the
     field's scale; finite points round-trip within the quantization
@@ -191,6 +191,7 @@ def test_pack_i16_nan_fill_and_roundtrip():
     assert (q2 == _I16_FILL).all() and np.isfinite(so2).all()
 
 
+@pytest.mark.slow
 def test_chunked_honors_per_record_lon():
     """Records carrying a 'lon' field must anchor the warm-layer solar
     clock in chunked mode exactly as in per-record mode (it must not be
@@ -233,6 +234,7 @@ def test_chunked_honors_per_record_lon():
                            np.asarray(st_z.dT_wl), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_collect_wire_i16_close_to_exact():
     """collect_wire='i16' (packed D2H read-back) reconstructs the
     collected fluxes within quantization tolerance, NaNs preserved."""
@@ -299,6 +301,17 @@ def test_chunked_sharded_matches_unsharded():
         np.testing.assert_allclose(a["QL"], b["QL"], rtol=1e-12)
     np.testing.assert_allclose(np.asarray(st.dT_wl),
                                np.asarray(st_ref.dT_wl), rtol=1e-12)
+
+    # i16 wire composes with the sharded feed (packed int16 chunks land
+    # in the sharded layout, meta replicated)
+    out16, st16 = run_series_pipelined(cfg, recs2d(nt), chunk=2,
+                                       sharding=sh, wire="i16")
+    for a, b in zip(out16, ref):
+        span = float(b["QL"].max() - b["QL"].min()) + 1e-6
+        # i16 wire implies fp32 on-device compute: rtol covers fp32
+        # arithmetic vs the fp64 reference, atol the quantization
+        np.testing.assert_allclose(a["QL"], b["QL"], rtol=1e-4,
+                                   atol=max(span / 6.5e4, 1e-4))
 
 
 def test_producer_exception_propagates():
