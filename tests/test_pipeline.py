@@ -190,6 +190,25 @@ def test_pack_i16_nan_fill_and_roundtrip():
     q2, so2 = _pack_i16(np.full(3, np.nan, np.float32))
     assert (q2 == _I16_FILL).all() and np.isfinite(so2).all()
 
+    # constant field (zero span): exact reconstruction
+    qc, soc = _pack_i16(np.full(5, 101325.0, np.float32))
+    rec_c = qc.astype(np.float64) * float(soc[0]) + float(soc[1])
+    np.testing.assert_allclose(rec_c, 101325.0, rtol=1e-6)
+
+    # huge span: no int16 overflow, no non-finite scale/offset
+    qh, soh = _pack_i16(np.array([-1e30, 0.0, 1e30], np.float32))
+    assert np.isfinite(soh).all()
+    assert qh.min() >= -32767 and qh.max() <= 32767
+
+    # span below the 1e-30 scale floor: collapses to a constant at vmin
+    # (documented floor; no geophysical forcing field has such a span)
+    qt, sot = _pack_i16(np.array([1e-38, 2e-38, 3e-38], np.float32))
+    assert np.isfinite(sot).all()
+    rec_t = qt.astype(np.float64) * float(sot[0]) + float(sot[1])
+    # fp32 offset cancellation leaves ~1e-33 absolute error — zero for
+    # any physical purpose
+    assert np.abs(rec_t).max() < 1e-31
+
 
 @pytest.mark.slow
 def test_chunked_honors_per_record_lon():
