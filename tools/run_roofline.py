@@ -26,13 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-# measured fused-kernel throughputs (points/s on the 721x1440 grid,
-# slope-timed by bench.py; override with --measured name=value,...)
+# measured fused-kernel throughputs (points/s, slope-timed by bench.py;
+# override with --measured name=value,...)
 MEASURED = {
-    "coare3p6_skin_niter5": 5.35e8,   # post strength-reduction, 2026-08-19
-    "ecmwf_skin_niter5": 3.8e8,       # docs/SCALING.md table
+    "coare3p6_skin_niter5": 5.45e8,   # docs/BENCH_ALL.json 2026-08-21
+    "ecmwf_skin_niter5": 3.88e8,      # docs/BENCH_ALL.json 2026-08-21
+    "coare3p0_niter5": 1.07e9,        # stateless fused bulk kernel (r4)
+    "ncar_niter5": 1.98e9,            # jit batch (already at census limit)
 }
 PAD_FACTOR = (736 * 1536) / (721 * 1440)   # kernel computes padded tiles
+# the batched stateless rows tile a flattened batch: padding is <=1 tile
+# on ~2M points (negligible)
+PAD_BY_KEY = {"coare3p0_niter5": 1.0, "ncar_niter5": 1.0}
 
 
 def main():
@@ -107,20 +112,24 @@ def main():
 
     for algo, skin, niter in (("coare3p6", True, 5), ("ecmwf", True, 5),
                               ("coare3p6", True, 20),
+                              ("coare3p0", False, 5),
                               ("ncar", False, 5), ("andreas", False, 5)):
         counts = flux_step_counts(algo=algo, use_skin=skin, niter=niter)
         key = f"{algo}{'_skin' if skin else ''}_niter{niter}"
         total = int(sum(counts.values()))
         entry = {"ops_per_point": dict(counts), "ops_total": total}
         if key in MEASURED:
-            implied = MEASURED[key] * total * PAD_FACTOR
+            pad = PAD_BY_KEY.get(key, PAD_FACTOR)
+            implied = MEASURED[key] * total * pad
             entry["measured_points_per_s"] = MEASURED[key]
             entry["implied_ops_per_s"] = round(implied, 1)
             entry["fraction_of_fma_ceiling"] = round(
                 implied / fma_ceiling, 3)
             # HBM traffic: 14 input + 10 output fp32 fields per step
+            # (stateless rows: 6 in + 6 out)
+            nfields = 12 if not skin else 24
             entry["hbm_gb_per_s"] = round(
-                MEASURED[key] * 24 * 4 / 1e9, 1)
+                MEASURED[key] * nfields * 4 / 1e9, 1)
         out["algos"][key] = entry
         print(f"{key}: {total} ops/pt"
               + (f", implied {entry['implied_ops_per_s']:.3e} ops/s = "
