@@ -605,6 +605,17 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
             # stateless fused Pallas kernel: the whole (nt, ...) batch is
             # flattened onto VPU tiles and solved in one kernel launch
             # (kernels/fused.py fused_bulk_step)
+            if opt or lon is not None:
+                # the jit batch path forwards rad_sw/rad_lw/lon to
+                # flux_step (which ignores them for stateless configs);
+                # the fused kernel does not take them at all — warn so
+                # the asymmetry can never silently mask a caller error
+                import warnings
+                warnings.warn(
+                    "run_series(batch_records=True, backend='fused'): "
+                    f"ignoring {opt + (['lon'] if lon is not None else [])}"
+                    " — stateless configs use neither (radiation/lon only "
+                    "drive the skin schemes)", stacklevel=2)
             from .kernels.fused import fused_bulk_step
             QL, QH, Tau_x, Tau_y, Evap, T_s = fused_bulk_step(
                 cfg, *(forcing[n] for n in names), block=fused_block,

@@ -73,14 +73,25 @@ def _prefetch_map(fn, items, buffer_size: int = 2):
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
+    drained = False   # saw _END: the producer finished (ok or with error)
     try:
         while True:
             item = q.get()
             if item is _END:
+                drained = True
                 break
             yield item
     finally:
         stop.set()
+        if err and not drained:
+            # the consumer abandoned the stream (its own exception or an
+            # early break) while the producer ALSO failed — the normal
+            # re-raise below never runs, so surface the producer failure
+            # instead of silently dropping it at generator close
+            import logging
+            logging.getLogger(__name__).warning(
+                "prefetch producer failed while the consumer abandoned "
+                "the stream early: %r", err[0])
     if err:
         raise err[0]
 
@@ -285,6 +296,94 @@ def _make_chunk_step(cfg, backend, fused_block, fused_interpret):
     return chunk_step
 
 
+def _shard_multiple(mesh, axis):
+    """Number of shards a PartitionSpec entry cuts an axis into."""
+    if axis is None:
+        return 1
+    if isinstance(axis, (tuple, list)):
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis]
+
+
+def _mesh_pad_widths(sharding, grid_shape):
+    """Per-axis padding rounding ``grid_shape`` up to shard multiples.
+
+    ``NamedSharding`` cannot lay out uneven global dims via device_put
+    (sharding.py:_mesh_padding) — the real 0.25-degree grid is 721x1440
+    and 721 = 7*103, so the streamed sharded feed edge-pads each chunk on
+    the prefetch thread before the transfer.  Spec entries align to the
+    LEADING grid axes (PartitionSpec semantics); missing trailing entries
+    mean replicated."""
+    spec = tuple(sharding.spec)
+    spec = spec + (None,) * (len(grid_shape) - len(spec))
+    return tuple((-s) % _shard_multiple(sharding.mesh, ax)
+                 for s, ax in zip(grid_shape, spec))
+
+
+@functools.lru_cache(maxsize=64)
+def _make_sharded_chunk_step(cfg, backend, fused_block, fused_interpret,
+                             mesh, spec, grid_shape):
+    """Jitted chunk scan over a device mesh: the whole chunk is scanned
+    *device-local* inside one ``shard_map`` (the warm-layer state carries
+    across records entirely on-chip, zero collectives per step) — the
+    streamed analogue of :func:`aerobulk_tpu.sharding.sharded_run_series`
+    and the multi-chip form of the reference's IO-fed stateful time loop
+    (test_aerobulk_buoy_series_oce.f90:364-537 on a decomposed domain).
+
+    Inputs arrive already edge-padded to shard multiples (see
+    :func:`_mesh_pad_widths`); outputs are sliced back to ``grid_shape``
+    before collection so ``collect`` reductions never see padded lanes.
+    The (padded) state stays sharded and device-resident between chunks.
+    """
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .api import run_series
+
+    fspec = P(None, *spec)    # (k, ...grid): time axis replicated
+    gspec = P(*spec)          # grid fields / state
+    glen = len(grid_shape)
+
+    kw = dict(backend=backend)
+    if backend == "fused":
+        kw.update(fused_block=fused_block, fused_interpret=fused_interpret)
+
+    @jax.jit
+    def chunk_step(fc, meta, isd, lon, st):
+        if meta is not None:     # i16 wire: reconstruct on device
+            fc = {k: jnp.where(v == _I16_FILL, jnp.nan,
+                               v.astype(jnp.float32) * meta[k][0]
+                               + meta[k][1])
+                  for k, v in fc.items()}
+        in_specs = ({k: fspec for k in fc}, P(None), gspec,
+                    jax.tree_util.tree_map(lambda _: gspec, st))
+
+        # check_vma=False: pallas_call inside shard_map cannot declare
+        # varying-across-mesh outputs (pointwise workload — nothing is
+        # actually replicated); harmless for the jit backend.
+        @partial(shard_map, mesh=mesh, in_specs=in_specs,
+                 out_specs=(fspec, gspec), check_vma=False)
+        def local_series(fc, isd, lo, st):
+            return run_series(cfg, fc, skin_state=st, isecday_utc=isd,
+                              lon=lo, **kw)
+
+        outs, ns = local_series(fc, isd, lon, st)
+        padded = tuple(fc["sst"].shape[1:])
+        if padded != tuple(grid_shape):
+            sl = (Ellipsis,) + tuple(slice(0, s) for s in grid_shape)
+            outs = jax.tree_util.tree_map(
+                lambda x: x[sl] if x.shape[-glen:] == padded else x, outs)
+        return outs, ns
+
+    return chunk_step
+
+
 @functools.lru_cache(maxsize=64)
 def _make_record_step(cfg, backend, fused_block, fused_interpret):
     """Jitted single-record step, cached per static config (see
@@ -350,10 +449,18 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
     the TPU speed path), amortizing the fixed per-dispatch cost over
     K * npoints.  ``collect`` then receives the chunk's stacked
     FluxOutput and each element of the returned results list covers K
-    records (the final one possibly fewer).  Chunked + ``sharding`` is
-    supported for ``backend="jit"``; for multi-chip fused scans use
-    :func:`aerobulk_tpu.sharding.sharded_run_series` (pallas_call does
-    not auto-partition under jit).
+    records (the final one possibly fewer).
+
+    Chunked + ``sharding`` is the MULTI-CHIP streamed production shape
+    (both backends): each chunk is device_put straight into the sharded
+    layout on the prefetch thread and scanned *device-local* inside one
+    ``shard_map`` (:func:`_make_sharded_chunk_step`) — the warm-layer
+    state stays sharded and device-resident between chunks, and grids
+    that do not divide the mesh evenly (721x1440 on a 2-D mesh) are
+    edge-padded to shard boundaries on the host and sliced back before
+    collection.  Per-record + multi-device ``sharding`` with
+    ``backend="fused"`` raises — use ``chunk=1``, which has the same
+    per-record semantics through the shard_map path.
 
     ``wire="i16"`` (chunked mode only) ships each forcing field as
     scale-offset-packed int16 — the NetCDF/GRIB packing convention — and
@@ -382,30 +489,54 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
     if sharding is not None and len(sharding.device_set) <= 1:
         sharding = None
 
+    if sharding is not None and backend == "fused" and chunk is None:
+        raise ValueError(
+            "run_series_pipelined: per-record fused streaming over a "
+            "multi-device sharding is not supported (pallas_call does not "
+            "auto-partition under jit — the dispatch would gather the "
+            "full grid onto one device or error); use chunk=1, which "
+            "routes each record through a shard_map'd device-local scan")
+
+    def _pad_sharded(arr, lead):
+        """Edge-pad the trailing grid axes to shard multiples (host side,
+        runs on the prefetch thread — see _mesh_pad_widths)."""
+        if sharding is None:
+            return arr
+        pads = _mesh_pad_widths(sharding, arr.shape[lead:])
+        if not any(pads):
+            return arr
+        return np.pad(arr, [(0, 0)] * lead + [(0, p) for p in pads],
+                      mode="edge")
+
     # lon is static geography: commit it to the device ONCE up front —
     # as a plain numpy jit argument it would be re-transferred on every
     # step/chunk call (~4 MB per call on the 0.25-degree grid)
     if lon is not None and not isinstance(lon, jax.Array):
-        lon = jax.device_put(np.asarray(lon),
+        lon = jax.device_put(_pad_sharded(np.asarray(lon), 0),
                              sharding if sharding is not None else None)
 
     coll = _InflightCollector(collect, inflight, wire=collect_wire)
     state = skin_state
+    if state is not None and sharding is not None:
+        # a user-supplied initial state is padded to shard boundaries and
+        # stays padded (device-resident) for the whole run; the padding is
+        # sliced away before returning
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                _pad_sharded(np.asarray(x), np.ndim(x) - 2), sharding),
+            state)
 
     if chunk is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         ch_shard = rep_shard = None
+        spec = None
         if sharding is not None:
-            if backend == "fused":
-                raise ValueError(
-                    "run_series_pipelined: chunked fused streaming over a "
-                    "multi-device sharding is not supported under plain "
-                    "jit (pallas_call does not auto-partition); use "
-                    "sharding.sharded_run_series per chunk instead")
-            ch_shard = NamedSharding(sharding.mesh, P(None, *sharding.spec))
+            spec = tuple(sharding.spec)
+            ch_shard = NamedSharding(sharding.mesh, P(None, *spec))
             rep_shard = NamedSharding(sharding.mesh, P())
 
         lon_cell = [None]   # per-record 'lon' shipped once (static field)
+        lon_host = [None]   # host copy for the equality check below
 
         def put_chunk(ch):
             isd = ch.pop(isecday_key, None)
@@ -415,38 +546,64 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
             # run_series (which takes lon as an argument)
             lo = ch.pop("lon", None)
             if lo is not None:
+                lo = np.asarray(lo)
                 if lon_cell[0] is None:
-                    lon_cell[0] = jax.device_put(np.asarray(lo)[0],
-                                                 sharding)
+                    lon_host[0] = lo[0]
+                    lon_cell[0] = jax.device_put(
+                        _pad_sharded(lon_host[0], 0), sharding)
+                if not np.array_equal(
+                        lo, np.broadcast_to(lon_host[0], lo.shape)):
+                    # only the FIRST record's lon is committed; a
+                    # genuinely time-varying lon (drifting platform /
+                    # moving nest) would silently get a wrong warm-layer
+                    # solar clock — refuse instead
+                    raise ValueError(
+                        "run_series_pipelined: records carry a "
+                        "time-varying 'lon'; only static geography is "
+                        "supported (the first record's lon is committed "
+                        "once) — drop 'lon' from the records and restart "
+                        "a new series when the grid moves")
                 lo = lon_cell[0]
+            grid_shape = ch["sst"].shape[1:]
             if wire == "i16":
                 dev = {}
                 meta = {}
                 for k, v in ch.items():
                     q, so = _pack_i16(v)
-                    dev[k] = jax.device_put(q, ch_shard)
+                    dev[k] = jax.device_put(_pad_sharded(q, 1), ch_shard)
                     meta[k] = jax.device_put(so, rep_shard)
                 dev = {"data": dev, "meta": meta}
             else:
-                dev = {"data": {k: jax.device_put(v, ch_shard)
+                dev = {"data": {k: jax.device_put(
+                    _pad_sharded(np.asarray(v), 1), ch_shard)
                                 for k, v in ch.items()}, "meta": None}
             dev["lon"] = lo
+            dev["_grid"] = grid_shape
             if isd is not None:
                 dev[isecday_key] = jax.device_put(isd, rep_shard)
             return dev
 
-        chunk_step = _make_chunk_step(
-            cfg, backend, tuple(fused_block),
-            fused_interpret if fused_interpret is None
-            else bool(fused_interpret))
+        chunk_step = None
+        grid_shape = None
+        fi = (fused_interpret if fused_interpret is None
+              else bool(fused_interpret))
 
         for ch in _prefetch_map(put_chunk,
                                 _chunk_records(records, chunk, isecday_key),
                                 buffer_size):
             isd = ch.pop(isecday_key, None)
             lo = ch.pop("lon", None)
+            grid_shape = ch.pop("_grid")
+            if chunk_step is None:
+                if sharding is None:
+                    chunk_step = _make_chunk_step(
+                        cfg, backend, tuple(fused_block), fi)
+                else:
+                    chunk_step = _make_sharded_chunk_step(
+                        cfg, backend, tuple(fused_block), fi,
+                        sharding.mesh, spec, tuple(grid_shape))
             if state is None:
-                sst0 = ch["data"]["sst"]
+                sst0 = ch["data"]["sst"]   # already shard-padded
                 dtype = (jax.numpy.float32 if wire == "i16"
                          else sst0.dtype)
                 state = init_skin_state(cfg, sst0.shape[1:], dtype)
@@ -456,6 +613,13 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
             outs, state = chunk_step(ch["data"], ch["meta"], isd,
                                      lo if lo is not None else lon, state)
             coll.push(outs)
+        if sharding is not None and state is not None \
+                and grid_shape is not None \
+                and tuple(state.dT_wl.shape) != tuple(grid_shape):
+            # slice the shard padding off the returned state (the
+            # collected outputs were already sliced inside chunk_step)
+            sl = tuple(slice(0, s) for s in grid_shape)
+            state = jax.tree_util.tree_map(lambda x: x[sl], state)
         return coll.drain(), state
 
     step = _make_record_step(
@@ -466,14 +630,23 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
     # per-record 'lon' is static geography: strip it on the producer side
     # and commit one device copy instead of re-uploading it every record
     lon_cell = [None]
+    lon_host = [None]
 
     def strip_lon(recs):
         for r in recs:
             if "lon" in r:
                 r = dict(r)
-                lo = r.pop("lon")
+                lo = np.asarray(r.pop("lon"))
                 if lon_cell[0] is None:
-                    lon_cell[0] = jax.device_put(np.asarray(lo), sharding)
+                    lon_host[0] = lo
+                    lon_cell[0] = jax.device_put(lo, sharding)
+                elif not np.array_equal(lo, lon_host[0]):
+                    raise ValueError(
+                        "run_series_pipelined: records carry a "
+                        "time-varying 'lon'; only static geography is "
+                        "supported (the first record's lon is committed "
+                        "once) — drop 'lon' from the records and restart "
+                        "a new series when the grid moves")
             yield r
 
     for rec in prefetch_to_device(strip_lon(records), sharding=sharding,

@@ -133,6 +133,11 @@ def pad_grid_to_mesh(mesh: Mesh, tree):
     straight to :func:`sharded_run_series`, which pads internally."""
     def pad(x):
         x = jax.numpy.asarray(x)
+        if x.ndim < 2:
+            # scalars / 1-D leaves (an isecday vector, a scalar state
+            # field) have no (y, x) axes to pad — pass them through
+            # rather than dying on x.shape[-2]
+            return x
         py, px = _mesh_padding(mesh, x.shape[-2], x.shape[-1])
         return _pad_grid_axes(x, py, px)
     return jax.tree_util.tree_map(pad, tree)

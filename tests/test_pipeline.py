@@ -333,6 +333,112 @@ def test_chunked_sharded_matches_unsharded():
                                    atol=max(span / 6.5e4, 1e-4))
 
 
+@pytest.mark.slow
+def test_chunked_sharded_fused_uneven_grid_matches_unsharded():
+    """The MULTI-CHIP STREAMED production shape (VERDICT r4 item 1):
+    chunked fused streaming over an 8-device mesh, on a grid that does
+    NOT divide the mesh evenly (the 721-class), must match the
+    single-device stream — chunks are shard-padded on the prefetch
+    thread, scanned device-local inside shard_map, and the state stays
+    sharded and device-resident across >= 3 chunk boundaries."""
+    from aerobulk_tpu.sharding import grid_sharding, make_grid_mesh
+
+    nt, ny, nx = 6, 5, 9        # 5 and 9 both uneven on a (2, 4) mesh
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+
+    def recs2d(nt):
+        for r in _records(nt, ny * nx):
+            yield {k: (v.reshape(ny, nx) if np.ndim(v) else v)
+                   for k, v in r.items()}
+
+    ref, st_ref = run_series_pipelined(
+        cfg, recs2d(nt), chunk=2, backend="fused", fused_block=(8, 128),
+        fused_interpret=True)
+
+    mesh = make_grid_mesh(shape=(2, 4))
+    sh = grid_sharding(mesh)
+    out, st = run_series_pipelined(
+        cfg, recs2d(nt), chunk=2, backend="fused", fused_block=(8, 128),
+        fused_interpret=True, sharding=sh)
+    assert len(out) == 3
+    for a, b in zip(out, ref):
+        assert a["QL"].shape == b["QL"].shape == (2, ny, nx)
+        np.testing.assert_allclose(a["QL"], b["QL"], rtol=1e-12)
+        np.testing.assert_allclose(a["Tau"], b["Tau"], rtol=1e-12)
+    assert np.asarray(st.dT_wl).shape == (ny, nx)
+    np.testing.assert_allclose(np.asarray(st.dT_wl),
+                               np.asarray(st_ref.dT_wl), rtol=1e-12)
+
+    # i16 wire composes with the sharded fused feed (packed chunks are
+    # shard-padded after packing; reconstruction runs on device)
+    out16, st16 = run_series_pipelined(
+        cfg, recs2d(nt), chunk=2, backend="fused", fused_block=(8, 128),
+        fused_interpret=True, sharding=sh, wire="i16")
+    for a, b in zip(out16, ref):
+        span = float(b["QL"].max() - b["QL"].min()) + 1e-6
+        np.testing.assert_allclose(a["QL"], b["QL"], rtol=1e-4,
+                                   atol=max(span / 6.5e4, 1e-4))
+    assert np.asarray(st16.dT_wl).shape == (ny, nx)
+
+
+@pytest.mark.slow
+def test_chunked_sharded_fused_resumes_from_user_state():
+    """A caller-supplied initial SkinState (unpadded, host-side) is
+    shard-padded internally and the returned state round-trips at the
+    logical shape — split-stream == one-stream."""
+    from aerobulk_tpu.sharding import grid_sharding, make_grid_mesh
+
+    nt, ny, nx = 4, 5, 9
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+    mesh = make_grid_mesh(shape=(2, 4))
+    sh = grid_sharding(mesh)
+
+    def recs2d(lo, hi):
+        for r in list(_records(nt, ny * nx))[lo:hi]:
+            yield {k: (v.reshape(ny, nx) if np.ndim(v) else v)
+                   for k, v in r.items()}
+
+    kw = dict(chunk=2, backend="fused", fused_block=(8, 128),
+              fused_interpret=True, sharding=sh)
+    _, st_full = run_series_pipelined(cfg, recs2d(0, nt), **kw)
+    _, st_a = run_series_pipelined(cfg, recs2d(0, 2), **kw)
+    st_a_host = st_a.__class__(*(np.asarray(x) for x in st_a))
+    _, st_b = run_series_pipelined(cfg, recs2d(2, nt), skin_state=st_a_host,
+                                   **kw)
+    np.testing.assert_allclose(np.asarray(st_b.dT_wl),
+                               np.asarray(st_full.dT_wl), rtol=1e-12)
+
+
+def test_per_record_fused_sharded_raises():
+    """The per-record fused + multi-device hole is guarded (VERDICT r4
+    item 1): chunk=1 is the supported spelling."""
+    from aerobulk_tpu.sharding import grid_sharding, make_grid_mesh
+
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+    sh = grid_sharding(make_grid_mesh(shape=(2, 4)))
+    with pytest.raises(ValueError, match="chunk=1"):
+        run_series_pipelined(cfg, _records(2, 4), backend="fused",
+                             sharding=sh)
+
+
+def test_time_varying_lon_raises():
+    """A stream whose records carry a genuinely time-varying lon must be
+    refused, not silently pinned to the first record's solar clock
+    (ADVICE r4)."""
+    nt, npts = 4, 3
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+
+    def recs():
+        for jt, r in enumerate(_records(nt, npts)):
+            r["lon"] = np.full(npts, 10.0 * jt)   # drifting platform
+            yield r
+
+    with pytest.raises(ValueError, match="time-varying 'lon'"):
+        run_series_pipelined(cfg, recs(), chunk=2)
+    with pytest.raises(ValueError, match="time-varying 'lon'"):
+        run_series_pipelined(cfg, recs())
+
+
 def test_producer_exception_propagates():
     cfg = AeroBulkConfig(algo="ncar", niter=5)
 
