@@ -60,5 +60,44 @@ int main()
             print_case(c.name, QH, QL, E, Tx, nullptr);
         }
     }
+
+    /* Two INTERLEAVED same-shape stateful series, disambiguated by
+     * series_id: series B runs warmer SST, so sharing warm-layer state
+     * (the reference's hidden-module-state hazard,
+     * mod_skin_coare.f90:31-36) would corrupt series A's trajectory.
+     * The interleaved series-A result must equal a sequential series-A
+     * run (done first, id 2, so it never coexists with another id). */
+    {
+        const int nrec = 3;
+        std::vector<double> sstB = {300.15, 300.15};
+        std::vector<double> rswD = {800.0, 800.0};
+
+        std::vector<double> QL2, QH2, Tx2, Ty2, E2, Ts2;
+        std::vector<double> seqQL;
+        for (int jt = 1; jt <= nrec; jt++) {
+            aerobulk::model(jt, nrec, aerobulk::algorithm::COARE3p6, zt,
+                            zu, sst, t_zt, q_zt, U, V, slp, QL2, QH2, Tx2,
+                            Ty2, E2, Niter, true, rswD, rlw, Ts2, 2);
+            seqQL = QL2;
+        }
+        for (int jt = 1; jt <= nrec; jt++) {
+            aerobulk::model(jt, nrec, aerobulk::algorithm::COARE3p6, zt,
+                            zu, sst, t_zt, q_zt, U, V, slp, QL2, QH2, Tx2,
+                            Ty2, E2, Niter, true, rswD, rlw, Ts2, 0);
+            aerobulk::model(jt, nrec, aerobulk::algorithm::COARE3p6, zt,
+                            zu, sstB, t_zt, q_zt, U, V, slp, QL, QH, Tx,
+                            Ty, E, Niter, true, rswD, rlw, Ts, 1);
+        }
+        double diff = 0.0;
+        for (size_t i = 0; i < QL2.size(); i++) {
+            double d = QL2[i] - seqQL[i];
+            diff += d > 0 ? d : -d;
+        }
+        if (diff > 1e-9) {
+            std::printf("interleaved series FAILED: |dQL|=%g\n", diff);
+            return 1;
+        }
+        std::printf("\n interleaved series_id OK (|dQL|=%g)\n", diff);
+    }
     return 0;
 }

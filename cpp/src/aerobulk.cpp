@@ -90,7 +90,8 @@ void call_model(int jt, int Nt, const std::string &calgo, double zt,
                 std::vector<double> &QH, std::vector<double> &Tau_x,
                 std::vector<double> &Tau_y, std::vector<double> &Evap,
                 int Niter, bool use_skin, const std::vector<double> *rad_sw,
-                const std::vector<double> *rad_lw, std::vector<double> *T_s)
+                const std::vector<double> *rad_lw, std::vector<double> *T_s,
+                int series_id)
 {
     ensure_interpreter();
     PyGILState_STATE gst = PyGILState_Ensure();
@@ -104,6 +105,7 @@ void call_model(int jt, int Nt, const std::string &calgo, double zt,
     PyObject *kw = PyDict_New();
     PyDict_SetItemString(kw, "niter", PyLong_FromLong(Niter));
     PyDict_SetItemString(kw, "use_skin", PyBool_FromLong(use_skin));
+    PyDict_SetItemString(kw, "series_id", PyLong_FromLong(series_id));
     if (rad_sw) PyDict_SetItemString(kw, "rad_sw", ro_view(*rad_sw));
     if (rad_lw) PyDict_SetItemString(kw, "rad_lw", ro_view(*rad_lw));
     if (T_s)    PyDict_SetItemString(kw, "T_s", rw_view(*T_s));
@@ -130,7 +132,8 @@ void model(int jt, int Nt, algorithm algo, double zt, double zu,
            std::vector<double> &Tau_x, std::vector<double> &Tau_y,
            std::vector<double> &Evap, int Niter, bool l_use_skin,
            const std::vector<double> &rad_sw,
-           const std::vector<double> &rad_lw, std::vector<double> &T_s)
+           const std::vector<double> &rad_lw, std::vector<double> &T_s,
+           int series_id)
 {
     int m = check_sizes(8, (int)sst.size(), (int)t_zt.size(),
                         (int)hum_zt.size(), (int)U_zu.size(),
@@ -140,7 +143,7 @@ void model(int jt, int Nt, algorithm algo, double zt, double zu,
     Evap.resize(m); T_s.resize(m);
     call_model(jt, Nt, algorithm_to_string(algo), zt, zu, sst, t_zt, hum_zt,
                U_zu, V_zu, slp, QL, QH, Tau_x, Tau_y, Evap, Niter,
-               l_use_skin, &rad_sw, &rad_lw, &T_s);
+               l_use_skin, &rad_sw, &rad_lw, &T_s, series_id);
 }
 
 void model(int jt, int Nt, algorithm algo, double zt, double zu,
@@ -149,7 +152,7 @@ void model(int jt, int Nt, algorithm algo, double zt, double zu,
            const std::vector<double> &V_zu, const std::vector<double> &slp,
            std::vector<double> &QL, std::vector<double> &QH,
            std::vector<double> &Tau_x, std::vector<double> &Tau_y,
-           std::vector<double> &Evap, int Niter)
+           std::vector<double> &Evap, int Niter, int series_id)
 {
     int m = check_sizes(6, (int)sst.size(), (int)t_zt.size(),
                         (int)hum_zt.size(), (int)U_zu.size(),
@@ -158,7 +161,7 @@ void model(int jt, int Nt, algorithm algo, double zt, double zu,
     Evap.resize(m);
     call_model(jt, Nt, algorithm_to_string(algo), zt, zu, sst, t_zt, hum_zt,
                U_zu, V_zu, slp, QL, QH, Tau_x, Tau_y, Evap, Niter,
-               false, nullptr, nullptr, nullptr);
+               false, nullptr, nullptr, nullptr, series_id);
 }
 
 }  // namespace aerobulk

@@ -144,3 +144,7 @@ def test_cpp_example_builds_and_runs():
     # because it predates that change (see tests/test_golden_ocean.py).
     assert "-15.15530" in res.stdout
     assert "-81.38902" in res.stdout
+    # two interleaved same-shape series disambiguated by series_id must
+    # not share warm-layer state (the example verifies interleaved ==
+    # sequential and exits nonzero otherwise)
+    assert "interleaved series_id OK" in res.stdout

@@ -268,14 +268,18 @@ def test_fp32_state_drift_budget_year():
           f"J/m^2, dT_wl quarterly max {np.array2string(q_dtwl, precision=2)} K, "
           f"QL median {med_ql:.3g} W/m^2, flip fraction {flip_frac:.2e}")
 
-    # measured 2026-08 (seed 406, CPU): Qnt_ac(final) 14.9 J/m^2,
-    # quarterly dT_wl maxima [2.4e-3, 8.2e-4, 1.7e-3, 2.4e-3] K — flat
-    # across the year (dawn-reset-bounded, NOT super-linear), QL median
-    # 2.7e-4 W/m^2, flip fraction 1.4e-4 (5 flipped records of 35040,
-    # each re-synchronized at the following dawn; worst transient
-    # 27 W/m^2 for part of one day).  Budgets ~20-100x measured.
+    # measured 2026-08-21 (seed 406, CPU): Qnt_ac(final) 7.65 J/m^2,
+    # quarterly dT_wl maxima [1.17e-5, 2.93e-6, 3.57e-6, 3.70e-6] K —
+    # FLAT across the year (dawn-reset-bounded, not super-linear; the
+    # largest quarter is the FIRST), QL median 2.6e-4 W/m^2, flip
+    # fraction 0 (no regime-boundary flip anywhere in 35,040
+    # point-records).  Verdict recorded in docs/SCALING.md: fp32 needs
+    # no compensated accumulator at year scale.  Budgets ~40-500x
+    # measured; a single platform-induced branch flip would exceed the
+    # quarterly budget and is worth surfacing (same philosophy as the
+    # month test).
     assert d_qac < 4e3, d_qac              # same relative budget as month
-    assert q_dtwl[-1] < 0.25, q_dtwl       # late-year drift stays bounded
+    assert q_dtwl[-1] < 1e-3, q_dtwl       # late-year drift stays roundoff
     # no compounding: the last quarter must not be orders above the first
     assert q_dtwl[-1] < 100 * max(q_dtwl[0], 1e-6), q_dtwl
     assert med_ql < 0.01, med_ql           # bulk of records at roundoff
