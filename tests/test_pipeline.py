@@ -173,6 +173,86 @@ def test_chunked_i16_wire_close_to_exact():
                                np.asarray(st_exact.dT_wl), atol=5e-3)
 
 
+@pytest.mark.slow
+def test_chunked_i8d_wire_close_to_exact():
+    """wire='i8d' (int16 base + int8 delta records, (k+1)/k bytes/value)
+    must reproduce the exact stream within the delta-quantization bound
+    on a smooth-in-time forcing (the format's premise)."""
+    nt, npts = 8, 16
+
+    def recs():
+        rng = np.random.default_rng(11)
+        base = {
+            "sst": (290.0 + 10.0 * rng.random(npts)),
+            "t_zt": (289.0 + 10.0 * rng.random(npts)),
+            "hum_zt": (0.005 + 0.010 * rng.random(npts)),
+            "U_zu": rng.normal(3.0, 2.0, npts),
+            "V_zu": rng.normal(0.0, 2.0, npts),
+            "slp": (99000.0 + 3000.0 * rng.random(npts)),
+            "rad_lw": (350.0 + 60.0 * rng.random(npts)),
+        }
+        rsw0 = 400.0 * rng.random(npts)
+        for jt in range(nt):
+            r = {k: v + 0.02 * jt * np.abs(v).mean()    # smooth drift
+                 for k, v in base.items()}
+            # diurnal shortwave: the large-but-smooth delta case
+            r["rad_sw"] = rsw0 * max(0.0, np.sin(2 * np.pi * jt / 24.0))
+            r["isecday_utc"] = np.int32(jt * 3600)
+            yield r
+
+    cfg = AeroBulkConfig(algo="coare3p6", niter=5, use_skin=True)
+    exact, st_exact = run_series_pipelined(cfg, recs(), chunk=4)
+    packed, st_packed = run_series_pipelined(cfg, recs(), chunk=4,
+                                             wire="i8d")
+    for a, b in zip(packed, exact):
+        np.testing.assert_allclose(a["QL"], b["QL"], rtol=1e-2, atol=1.0)
+        np.testing.assert_allclose(a["Tau"], b["Tau"], rtol=1e-2,
+                                   atol=2e-3)
+    np.testing.assert_allclose(np.asarray(st_packed.dT_wl),
+                               np.asarray(st_exact.dT_wl), atol=2e-2)
+
+
+def test_pack_i8_delta_roundtrip_and_nan():
+    """Base + chained-delta reconstruction matches the host packer's own
+    running reconstruction; NaN land points survive; error per record is
+    bounded by its delta span / 253 with NO chaining."""
+    from aerobulk_tpu.pipeline import (_I8_FILL, _I16_FILL,
+                                       _pack_i8_delta)
+
+    rng = np.random.default_rng(3)
+    k, n = 6, 32
+    v = np.empty((k, n), np.float32)
+    v[0] = 290.0 + 10.0 * rng.random(n)
+    for j in range(1, k):
+        v[j] = v[j - 1] + rng.normal(0.0, 0.05, n)   # smooth walk
+    v[:, 5] = np.nan                                 # static land mask
+
+    q0, dq, meta = _pack_i8_delta(v)
+    assert q0.dtype == np.int16 and dq.dtype == np.int8
+    assert dq.shape == (k - 1, n) and meta.shape == (2 * k,)
+    assert q0[5] == _I16_FILL and (dq[:, 5] == _I8_FILL).all()
+
+    # host-side reconstruction mirror of pipeline._recon_wire
+    so = meta.reshape(-1, 2).astype(np.float64)
+    R = np.where(q0 == _I16_FILL, np.nan,
+                 q0.astype(np.float64) * so[0, 0] + so[0, 1])
+    recs = [R]
+    for j in range(1, k):
+        d = np.where(dq[j - 1] == _I8_FILL, np.nan,
+                     dq[j - 1].astype(np.float64) * so[j, 0] + so[j, 1])
+        R = R + d
+        recs.append(R)
+    rec = np.stack(recs)
+    ok = np.isfinite(v)
+    assert not np.isfinite(rec[:, 5]).any()
+    # per-record bound: i16 base error + that record's own delta span/253
+    for j in range(k):
+        span = (np.nanmax(v[j] - rec[j - 1]) - np.nanmin(v[j] - rec[j - 1])
+                if j else 10.0)
+        bound = 10.0 / 65534.0 + (span / 253.0 if j else 0.0) + 1e-6
+        assert np.nanmax(np.abs(rec[j][ok[j]] - v[j][ok[j]])) < bound, j
+
+
 def test_pack_i16_nan_fill_and_roundtrip():
     """A NaN land-mask point must survive as NaN without poisoning the
     field's scale; finite points round-trip within the quantization
@@ -407,6 +487,56 @@ def test_chunked_sharded_fused_resumes_from_user_state():
                                    **kw)
     np.testing.assert_allclose(np.asarray(st_b.dT_wl),
                                np.asarray(st_full.dT_wl), rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_sharded_chunk_step_collective_free_even_grid():
+    """The compiled streamed sharded chunk program (shard-padded feed +
+    device-local fused scan) must contain zero collectives on an evenly
+    divisible grid — same property the resident sharded production scan
+    is pinned to (test_pallas_kernel.py).  (On uneven grids the final
+    unpad slice may reshard outputs, which head to the host anyway.)"""
+    import jax
+    import jax.numpy as jnp
+    from aerobulk_tpu.api import init_skin_state
+    from aerobulk_tpu.pipeline import _make_sharded_chunk_step
+    from aerobulk_tpu.sharding import grid_sharding, make_grid_mesh
+
+    cfg = AeroBulkConfig(algo="coare3p6", niter=3, use_skin=True)
+    mesh = make_grid_mesh(shape=(2, 4))
+    sh = grid_sharding(mesh)
+    k, ny, nx = 2, 8, 16
+    rng = np.random.default_rng(2)
+    fields = {
+        "sst": 285.0 + 15.0 * rng.random((k, ny, nx)),
+        "t_zt": 284.0 + 16.0 * rng.random((k, ny, nx)),
+        "hum_zt": 0.004 + 0.012 * rng.random((k, ny, nx)),
+        "U_zu": rng.normal(0.0, 6.0, (k, ny, nx)),
+        "V_zu": rng.normal(0.0, 6.0, (k, ny, nx)),
+        "slp": 98000.0 + 4000.0 * rng.random((k, ny, nx)),
+        "rad_sw": 500.0 * rng.random((k, ny, nx)),
+        "rad_lw": 250.0 + 150.0 * rng.random((k, ny, nx)),
+    }
+    fc = {n: jax.device_put(
+        jnp.asarray(v, jnp.float32),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(
+            None, "gy", "gx"))) for n, v in fields.items()}
+    isd = jnp.asarray([3600, 7200], jnp.int32)
+    lon = jax.device_put(jnp.zeros((ny, nx), jnp.float32), sh)
+    st = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh),
+        init_skin_state(cfg, (ny, nx), jnp.float32))
+
+    step = _make_sharded_chunk_step(cfg, "fused", (8, 128), True, mesh,
+                                    ("gy", "gx"), (ny, nx), "f32")
+    hlo = step.lower(fc, None, isd, lon, st).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, \
+            f"unexpected collective {coll!r} in the streamed sharded " \
+            "chunk program"
+    outs, ns = step(fc, None, isd, lon, st)
+    assert np.isfinite(np.asarray(outs.QL)).all()
 
 
 def test_per_record_fused_sharded_raises():
