@@ -37,6 +37,30 @@ _INV_3 = 1.0 / 3.0
 _INV_SQRT3 = 1.0 / 1.7320508
 
 
+def _pos_or_one(a):
+    """``a`` where positive, else 1 — grad-safety feed for a
+    ``sqrt``/``**frac`` whose argument can land EXACTLY on 0 inside a
+    branch the stability mask zeroes out (e.g. ``|1-15z|`` at z=1/15,
+    which is a *stable* z, so the unstable phi using it is masked).
+
+    The naive form is forward-correct (0 * finite = 0) but its backward
+    is ``inf slope x zero cotangent = NaN``; this bit a real production
+    gradient at exactly one 0.25-degree grid point in 1.04e6 (fp32 TPU
+    rounding landed z on the knife; round 5, found by the on-device
+    grad-parity gate).  Substituting 1 under the root changes only
+    masked-branch values (the mask is exactly 0 there), so every psi
+    value is bitwise unchanged for all inputs."""
+    return jnp.where(a > 0.0, a, 1.0)
+
+
+def _ge_one(a):
+    """``a`` where >= 1, else 1 — same grad-safety idea for the
+    NCAR/Andreas ``MAX(sqrt(|1-16z|), 1)`` clamp: for a < 1 the clamp
+    outputs 1 regardless, so feeding sqrt a 1 there keeps the forward
+    bitwise while removing sqrt's infinite slope at 0."""
+    return jnp.where(a >= 1.0, a, 1.0)
+
+
 def psi_m_coare(zeta):
     """COARE psi_m (mod_common_coare.f90:217-254).
 
@@ -47,11 +71,11 @@ def psi_m_coare(zeta):
       * ``/2`` -> ``*0.5`` (exact), ``/3`` and ``/sqrt(3)`` -> constant
         multiplies;
       * ``x/exp(cc)`` -> ``x*exp(-cc)``."""
-    phi_m = jnp.sqrt(jnp.sqrt(jnp.abs(1.0 - 15.0 * zeta)))
+    phi_m = jnp.sqrt(jnp.sqrt(_pos_or_one(jnp.abs(1.0 - 15.0 * zeta))))
     psi_k = (2.0 * jnp.log((1.0 + phi_m) * 0.5)
              + jnp.log((1.0 + phi_m * phi_m) * 0.5)
              - 2.0 * arctan(phi_m) + 0.5 * rpi)
-    phi_c = jnp.abs(1.0 - 10.15 * zeta) ** 0.3333
+    phi_c = _pos_or_one(jnp.abs(1.0 - 10.15 * zeta)) ** 0.3333
     psi_c = (1.5 * jnp.log((1.0 + phi_c + phi_c * phi_c) * _INV_3)
              - 1.7320508 * arctan((1.0 + 2.0 * phi_c) * _INV_SQRT3)
              + 1.813799447)
@@ -70,9 +94,9 @@ def psi_h_coare(zeta):
     ``**0.5`` -> sqrt and ``**1.5`` -> x*sqrt(x), plus the same
     constant-divide and 1/exp reductions as :func:`psi_m_coare`
     (ulp-level vs the literal form, gated by the 1e-12 oracle tests)."""
-    phi_h = jnp.sqrt(jnp.abs(1.0 - 15.0 * zeta))
+    phi_h = jnp.sqrt(_pos_or_one(jnp.abs(1.0 - 15.0 * zeta)))
     psi_k = 2.0 * jnp.log((1.0 + phi_h) * 0.5)
-    phi_c = jnp.abs(1.0 - 34.15 * zeta) ** 0.3333
+    phi_c = _pos_or_one(jnp.abs(1.0 - 34.15 * zeta)) ** 0.3333
     psi_c = (1.5 * jnp.log((1.0 + phi_c + phi_c * phi_c) * _INV_3)
              - 1.7320508 * arctan((1.0 + 2.0 * phi_c) * _INV_SQRT3)
              + 1.813799447)
@@ -81,7 +105,7 @@ def psi_h_coare(zeta):
     cc = jnp.minimum(50.0, 0.35 * zeta)
     stb = step(zeta)
     x32 = jnp.abs(1.0 + zeta * (2.0 / 3.0))
-    x32 = x32 * jnp.sqrt(x32)
+    x32 = x32 * jnp.sqrt(_pos_or_one(x32))
     return ((1.0 - stb) * ((1.0 - f) * psi_k + f * psi_c)
             - stb * (x32
                      + 0.6667 * (zeta - 14.28) * jnp.exp(-cc) + 8.525))
@@ -93,7 +117,7 @@ def psi_h_coare(zeta):
 
 def psi_m_ncar(zeta):
     """NCAR psi_m (mod_blk_ncar.f90:333-363)."""
-    x2 = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * zeta)), 1.0)
+    x2 = jnp.maximum(jnp.sqrt(_ge_one(jnp.abs(1.0 - 16.0 * zeta))), 1.0)
     x = jnp.sqrt(x2)
     psi_unst = (2.0 * jnp.log((1.0 + x) * 0.5)
                 + jnp.log((1.0 + x2) * 0.5)
@@ -105,7 +129,7 @@ def psi_m_ncar(zeta):
 
 def psi_h_ncar(zeta):
     """NCAR psi_h (mod_blk_ncar.f90:379-407)."""
-    x2 = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * zeta)), 1.0)
+    x2 = jnp.maximum(jnp.sqrt(_ge_one(jnp.abs(1.0 - 16.0 * zeta))), 1.0)
     psi_unst = 2.0 * jnp.log(0.5 * (1.0 + x2))
     psi_stab = -5.0 * zeta
     stb = step(zeta)
@@ -125,7 +149,7 @@ def psi_m_ecmwf(zeta):
     """ECMWF psi_m: Paulson-70 unstable + IFS stable (mod_blk_ecmwf.f90:441-477)."""
     zc = 5.0 / 0.35
     zta = _cap_zeta_ecmwf(zeta)
-    x2 = jnp.sqrt(jnp.abs(1.0 - 16.0 * zta))
+    x2 = jnp.sqrt(_pos_or_one(jnp.abs(1.0 - 16.0 * zta)))
     x = jnp.sqrt(x2)
     t = 1.0 + x
     psi_unst = (jnp.log(0.125 * t * t * (1.0 + x2))
@@ -143,10 +167,10 @@ def psi_h_ecmwf(zeta):
     oracle-gated)."""
     zc = 5.0 / 0.35
     zta = _cap_zeta_ecmwf(zeta)
-    x2 = jnp.sqrt(jnp.abs(1.0 - 16.0 * zta))
+    x2 = jnp.sqrt(_pos_or_one(jnp.abs(1.0 - 16.0 * zta)))
     psi_unst = 2.0 * jnp.log(0.5 * (1.0 + x2))
     x32 = jnp.abs(1.0 + 2.0 / 3.0 * zta)
-    x32 = x32 * jnp.sqrt(x32)
+    x32 = x32 * jnp.sqrt(_pos_or_one(x32))
     psi_stab = (-2.0 / 3.0 * (zta - zc) * jnp.exp(-0.35 * zta)
                 - x32 - 2.0 / 3.0 * zc + 1.0)
     stb = step(zta)
@@ -164,12 +188,12 @@ def psi_m_andreas(zeta):
     one_third = 1.0 / 3.0
     sr3 = math.sqrt(3.0)
     zta = jnp.minimum(zeta, 15.0)
-    x2 = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * zta)), 1.0)
+    x2 = jnp.maximum(jnp.sqrt(_ge_one(jnp.abs(1.0 - 16.0 * zta))), 1.0)
     x = jnp.sqrt(x2)
     psi_unst = (2.0 * jnp.log(jnp.abs((1.0 + x) * 0.5))
                 + jnp.log(jnp.abs((1.0 + x2) * 0.5))
                 - 2.0 * arctan(x) + rpi * 0.5)
-    xs = jnp.abs(1.0 + zta) ** one_third
+    xs = _pos_or_one(jnp.abs(1.0 + zta)) ** one_third
     bbm = abs((1.0 - bm) / bm) ** one_third  # scalar B_m
     psi_stab = (-3.0 * am / bm * (xs - 1.0) + am * bbm / (2.0 * bm) * (
         2.0 * jnp.log(jnp.abs((xs + bbm) / (1.0 + bbm)))
@@ -188,7 +212,7 @@ def psi_h_andreas(zeta):
     ch = 3.0
     bbh = math.sqrt(5.0)
     zta = jnp.minimum(zeta, 15.0)
-    x2 = jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * zta)), 1.0)
+    x2 = jnp.maximum(jnp.sqrt(_ge_one(jnp.abs(1.0 - 16.0 * zta))), 1.0)
     psi_unst = 2.0 * jnp.log(0.5 * (1.0 + x2))
     zz = 2.0 * zta + ch
     psi_stab = (-0.5 * bh * jnp.log(jnp.abs(1.0 + ch * zta + zta * zta))
@@ -217,7 +241,7 @@ def _psi_s_holtslag(zeta):
 def psi_m_ice(zeta):
     """Ice psi_m: Jordan-99 Eq. 30 unstable / Eq. 33 stable
     (mod_blk_ice_an05.f90:316-360)."""
-    x = jnp.abs(1.0 - 16.0 * zeta) ** 0.25
+    x = _pos_or_one(jnp.abs(1.0 - 16.0 * zeta)) ** 0.25
     psi_u = (jnp.log((1.0 + x * x) / 2.0) + 2.0 * jnp.log((1.0 + x) / 2.0)
              - 2.0 * arctan(x) + 0.5 * rpi)
     stb = step(zeta)
@@ -227,7 +251,7 @@ def psi_m_ice(zeta):
 def psi_h_ice(zeta):
     """Ice psi_h: Jordan-99 Eq. 31 unstable / Eq. 33 stable
     (mod_blk_ice_an05.f90:363-406)."""
-    x = jnp.abs(1.0 - 16.0 * zeta) ** 0.25
+    x = _pos_or_one(jnp.abs(1.0 - 16.0 * zeta)) ** 0.25
     psi_u = 2.0 * jnp.log((1.0 + x * x) / 2.0)
     stb = step(zeta)
     return (1.0 - stb) * psi_u + stb * _psi_s_holtslag(zeta)
@@ -235,16 +259,17 @@ def psi_h_ice(zeta):
 
 def psi_m_grachev07(zeta):
     """Grachev-07 psi_m (mod_blk_grachev07.f90:49-70)."""
-    x = jnp.abs(1.0 - 16.0 * zeta) ** 0.25
+    x = _pos_or_one(jnp.abs(1.0 - 16.0 * zeta)) ** 0.25
     psi_u = (jnp.log(0.5 * (1.0 + x * x)) + 2.0 * jnp.log(0.5 * (1.0 + x))
              - 2.0 * arctan(x) + 0.5 * rpi)
-    psi_s = 1.0 + 6.5 * zeta * (1.0 + zeta) ** 0.3333333 / (1.3 + zeta)
+    psi_s = (1.0 + 6.5 * zeta * _pos_or_one(1.0 + zeta) ** 0.3333333
+             / jnp.where(zeta < 0.0, 1.0, 1.3 + zeta))
     return jnp.where(zeta < 0.0, psi_u, -psi_s)
 
 
 def psi_h_grachev07(zeta):
     """Grachev-07 psi_h (mod_blk_grachev07.f90:91-113)."""
-    x = jnp.abs(1.0 - 16.0 * zeta) ** 0.25
+    x = _pos_or_one(jnp.abs(1.0 - 16.0 * zeta)) ** 0.25
     psi_u = 2.0 * jnp.log(0.5 * (1.0 + x * x))
     psi_s = 1.0 + 5.0 * zeta * (1.0 + zeta) / (1.0 + 3.0 * zeta + zeta * zeta)
     return jnp.where(zeta < 0.0, psi_u, -psi_s)

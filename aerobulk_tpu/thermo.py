@@ -360,8 +360,15 @@ def update_qnsol_tau(zu, ts, qs, Thta, qa, ust, tst, qst, wnd, Ub, slp, rlw):
 
 def alpha_sw(sst):
     """Thermal expansion coefficient of surface sea water [1/K]
-    (mod_phymbl.f90:1267-1286)."""
-    return 2.1e-5 * jnp.maximum(sst - c.rt0 + 3.2, 0.0) ** 0.79
+    (mod_phymbl.f90:1267-1286).
+
+    Grad-safety double-where (docs/PARITY.md pattern): the naive
+    ``max(x, 0)**0.79`` has a NaN gradient for sst <= 269.95 K (pow's
+    infinite slope at 0 times the clamp's zero cotangent); forward is
+    bitwise-identical (0 both ways at the clamp)."""
+    x = jnp.maximum(sst - c.rt0 + 3.2, 0.0)
+    pos = x > 0.0
+    return 2.1e-5 * jnp.where(pos, jnp.where(pos, x, 1.0) ** 0.79, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -493,9 +500,18 @@ def skin_layer_coefs(alpha, ustar_a, Qlat=None):
     hoisted expressions keep the original association order, so the
     hoisted evaluation is bitwise-identical to the inline one."""
     usw = jnp.maximum(ustar_a, 1.0e-4) * c.sq_radrw
-    usw2 = usw * usw
-    coef_y = alpha * c.rcst_cs / (usw2 * usw2)
-    ztmp = c.rnu0_w / usw
+    # alpha * rcst_cs / usw^4, written as products of 1/usw: the naive
+    # x / (usw2*usw2) form has a transpose that squares 1/usw^4 —
+    # (7.3e21)^2 overflows fp32 at the ustar clamp floor, and the
+    # clamp's zero cotangent then turns the inf into NaN (inf*0) in the
+    # cool-skin BACKWARD pass on TPU (XLA CPU factors the same transpose
+    # differently, which is why only the chip produced it).  Products of
+    # reciprocals keep every backward intermediate in fp32 range; the
+    # forward value differs by <=1 ulp (oracle tolerance 1e-12 holds).
+    inv_usw = 1.0 / usw
+    inv2 = inv_usw * inv_usw
+    coef_y = alpha * c.rcst_cs * (inv2 * inv2)
+    ztmp = c.rnu0_w * inv_usw
     corr = None
     if Qlat is not None:
         corr = 0.026 * jnp.minimum(Qlat, 0.0) * c.rCp0_w / c.rLevap / alpha

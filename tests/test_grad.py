@@ -155,6 +155,86 @@ def test_fused_step_gradient_matches_jit_path():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-10)
 
 
+def test_psi_gradients_finite_at_branch_knives():
+    """Round-5 regression: every psi family computes its masked branch
+    for all points, and ``sqrt``/``**frac`` of ``|1 - k*zeta|`` has an
+    infinite slope exactly where the argument crosses zero — a zeta that
+    always lies in the OTHER (masked) branch, so the forward is fine but
+    the backward was ``inf * 0 = NaN``.  fp32 TPU rounding landed a real
+    production point exactly on the 1/15 knife (1 in 1.04e6, caught by
+    the on-device grad-parity gate).  All knives now carry the
+    double-where guard (stability._pos_or_one/_ge_one); this pins a
+    finite gradient AT every knife in both fp32 and fp64."""
+    from aerobulk_tpu import stability as sb
+
+    cases = {
+        sb.psi_m_coare: (1.0 / 15.0, 1.0 / 10.15),
+        sb.psi_h_coare: (1.0 / 15.0, 1.0 / 34.15, -1.5),
+        sb.psi_m_ncar: (1.0 / 16.0,),
+        sb.psi_h_ncar: (1.0 / 16.0,),
+        sb.psi_m_ecmwf: (1.0 / 16.0,),
+        sb.psi_h_ecmwf: (1.0 / 16.0, -1.5),
+        sb.psi_m_andreas: (1.0 / 16.0, -1.0),
+        sb.psi_h_andreas: (1.0 / 16.0,),
+        sb.psi_m_ice: (1.0 / 16.0,),
+        sb.psi_h_ice: (1.0 / 16.0,),
+        sb.psi_m_grachev07: (1.0 / 16.0, -1.0, -1.3),
+        sb.psi_h_grachev07: (1.0 / 16.0,),
+    }
+    for fn, knives in cases.items():
+        for dtype in (jnp.float32, jnp.float64):
+            # the knife plus representative points of both branches
+            z = jnp.asarray(list(knives) + [-2.0, -1e-3, 1e-3, 2.0],
+                            dtype)
+            val, grad = jax.vmap(jax.value_and_grad(fn))(z)
+            assert bool(jnp.all(jnp.isfinite(val))), (fn.__name__, val)
+            assert bool(jnp.all(jnp.isfinite(grad))), (fn.__name__,
+                                                       dtype, grad)
+
+
+def test_alpha_sw_gradient_finite_at_clamp():
+    """alpha_sw's MAX(.,0)**0.79 clamp pins to zero for sst <= 269.95 K;
+    the gradient there must be 0, not NaN (round-5 double-where)."""
+    from aerobulk_tpu.thermo import alpha_sw
+
+    sst = jnp.asarray([260.0, 269.95, 269.96, 291.6], jnp.float32)
+    val, grad = jax.vmap(jax.value_and_grad(alpha_sw))(sst)
+    assert bool(jnp.all(jnp.isfinite(grad))), grad
+    assert float(val[0]) == 0.0 and float(grad[0]) == 0.0
+    assert float(grad[-1]) > 0.0
+
+
+def test_cool_skin_gradient_finite_at_ustar_floor():
+    """Round-5 regression (found by the on-device grad parity gate, 1
+    point in 1.04e6): the cool-skin coefficient ``alpha*rcst_cs/usw^4``
+    written as a division had a transpose that squares 1/usw^4 —
+    overflow at the ustar clamp floor in fp32, and the clamp's zero
+    cotangent turned the inf into NaN (inf*0) on TPU.  The coefficients
+    are now products of reciprocals (thermo.skin_layer_coefs); this pins
+    finite gradients across the harsh corner (ustar at/below the 1e-4
+    floor x strong cooling) in fp32 on every backend."""
+    from aerobulk_tpu import constants as c
+    from aerobulk_tpu.skin import cs_coare
+    from aerobulk_tpu.thermo import alpha_sw
+
+    n = 64
+    ustar = jnp.asarray(np.geomspace(1e-6, 0.5, n), jnp.float32)
+    Qnsol = jnp.asarray(np.linspace(-400.0, -1.0, n), jnp.float32)
+    sst = jnp.full((n,), 291.6, jnp.float32)
+    Qsw = jnp.full((n,), (1.0 - c.roce_alb0) * 222.9, jnp.float32)
+    Qlat = jnp.full((n,), -50.0, jnp.float32)
+
+    def loss(us):
+        return jnp.sum(cs_coare(Qsw, Qnsol, us, sst, Qlat))
+
+    g = jax.grad(loss)(ustar)
+    assert bool(jnp.all(jnp.isfinite(g))), np.asarray(g)
+    # and d/d(alpha-chain) via sst stays finite too
+    g2 = jax.grad(lambda s: jnp.sum(cs_coare(Qsw, Qnsol, ustar, s,
+                                             Qlat)))(sst)
+    assert bool(jnp.all(jnp.isfinite(g2)))
+
+
 @pytest.mark.slow
 def test_fused_grad_backends_match_jit_backend():
     """The alternative grad backends (kernels/fused.py _fused_step_bwd)
