@@ -215,9 +215,16 @@ def psi_h_andreas(zeta):
     x2 = jnp.maximum(jnp.sqrt(_ge_one(jnp.abs(1.0 - 16.0 * zta))), 1.0)
     psi_unst = 2.0 * jnp.log(0.5 * (1.0 + x2))
     zz = 2.0 * zta + ch
-    psi_stab = (-0.5 * bh * jnp.log(jnp.abs(1.0 + ch * zta + zta * zta))
+    # the stable-branch log arguments hit EXACT zeros at the fp32
+    # unstable-branch (masked) zetas (-3±sqrt(5))/2 ≈ -0.382 / -2.618:
+    # |1+3z+z^2| -> 0 and (zz∓sqrt5) -> 0, so the naive form is
+    # 0 * (-inf) = NaN in the FORWARD pass, not just the backward
+    # (round-5 review finding; for z >= 0 the arguments are >= 1 and
+    # > 0.15 respectively, so the guards only touch masked points)
+    psi_stab = (-0.5 * bh * jnp.log(_pos_or_one(
+                    jnp.abs(1.0 + ch * zta + zta * zta)))
                 + (-ah / bbh + 0.5 * bh * ch / bbh)
-                * (jnp.log(jnp.abs((zz - bbh) / (zz + bbh)))
+                * (jnp.log(_pos_or_one(jnp.abs((zz - bbh) / (zz + bbh))))
                    - math.log(abs((ch - bbh) / (ch + bbh)))))
     stb = step(zta)
     return stb * psi_stab + (1.0 - stb) * psi_unst
